@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four tiers, cheapest-first — the standard training-data pipeline ladder
+(engine-new surface; the reference only does exact content-hash dup detection,
+``07…ipynb:458 sha256_file`` + first-seen map, SURVEY A8):
+
+1. exact        — hash-groupBy on normalized content; one shuffle on the hash.
+2. ngram        — n-gram shingle Jaccard via shingle-inverted-index self-join;
+                  exact but quadratic-in-collision-group; used to verify (3).
+3. minhash_lsh  — MinHash signatures + banded LSH: candidate pairs only where
+                  a band bucket collides.  At 100 TB this is THE scalable path:
+                  shuffle is on (band_id, band_hash) buckets, never all-pairs.
+4. simhash      — 64-bit SimHash fingerprints; near-dups differ in few bits.
+
+All hashing is Spark's builtin ``xxhash64`` (JVM, codegen'd, seedable via an
+extra literal column) — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (space-joined), distinct."""
+    toks = tokenize(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    # A doc shorter than n tokens yields its whole token string as one shingle.
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the first (min id) row per key — SURVEY A7/A8 first-seen policy.
+
+    One hash-shuffle on the key; at scale prefer hashing wide text to a
+    digest first (sha2) so the shuffle carries 32 bytes, not the document.
+    """
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Inverted index (id, shingle) — the join key for Jaccard / the input to
+    MinHash.  Distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard).
+
+    Plan: inverted index self-join on shingle → per-pair intersection count →
+    join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|).  The self-join
+    shuffles on the shingle; hot shingles are the skew risk at scale — AQE
+    skew-split handles moderate cases, stop-shingle filtering (document
+    frequency cap) is the production lever.
+    """
+    idx = shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, i).  Computed as one aggregate over the exploded
+    inverted index — num_hashes mins in a single shuffle."""
+    idx = shingle_index(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = idx.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id"), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; docs sharing any band
+    bucket are candidate pairs.  Shuffle key = (band, band_hash) — constant
+    fan-out per doc, never all-pairs.  Returns distinct (id_a < id_b)."""
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal signature
+    slots (zip_with, JVM-side)."""
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.size("sig_a"),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: for each bit position, sum ±1 over token
+    hashes; bit = 1 iff the sum is positive.  Pure column algebra: 64
+    shiftright/bitand expressions over the exploded token hash — one shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+    ).withColumn("th", F.xxhash64("token"))
+    bit_sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("_id", sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,149 @@
+"""Crawl-engine component queries (north rule): URL canonicalization,
+frontier seen-set anti-join, per-host politeness scheduling.
+
+The full iterative frontier loop (bloom seen-set, retry routing, resume) is
+driver-side iteration and lives in ``streaming/frontier.py`` with pytest
+parity checks against a pure-Python NB01 simulator; these queries oracle-check
+its per-round building blocks, which ARE SQL-expressible.
+
+Synthetic URL corpus: built deterministically from `documents` (no network,
+no external data) — ``https://{source}.example.org/docs/{doc_id}?b=2&a=1#f``
+with host skew mirroring the reference's hdx.humdata.org hotspot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.url import canonicalize_url, url_host
+from ..sources.tables import load_table
+from .registry import register
+
+# ~40% of URLs collapse onto one hot host (doc_id % 5 < 2) — the skew case.
+_URL_EXPR = """
+CASE WHEN doc_id % 5 < 2
+     THEN 'HTTPS://Hdx.HumData.org:443/dataset/' || doc_id || '?format=json&page=1#frag'
+     ELSE 'https://' || source || '.Example.org/docs/' || doc_id || '?b=2&a=1#frag'
+END
+"""
+
+
+def _seed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    doc_id_s = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 5 < 2,
+        F.concat(
+            F.lit("HTTPS://Hdx.HumData.org:443/dataset/"),
+            doc_id_s,
+            F.lit("?format=json&page=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".Example.org/docs/"),
+            doc_id_s,
+            F.lit("?b=2&a=1#frag"),
+        )
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+@register(
+    "canonicalize_urls",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 < 2
+                THEN 'https://hdx.humdata.org/dataset/' || doc_id || '?format=json&page=1'
+                ELSE 'https://' || lower(source) || '.example.org/docs/' || doc_id || '?a=1&b=2'
+           END AS canon_url,
+           CASE WHEN doc_id % 5 < 2 THEN 'hdx.humdata.org'
+                ELSE lower(source) || '.example.org' END AS host
+    FROM documents
+    """,
+    doc="URL canonicalization (north rule; reference analogue "
+        "01…ipynb:514-556 deterministic filenames): lowercase scheme/host, "
+        "strip fragment + default port, sort query params. Vectorized pandas "
+        "UDF only on the '?'-carrying slow path.",
+)
+def canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = _seed_urls(spark, sf_dir)
+    return seeds.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        url_host(canonicalize_url(F.col("url"))).alias("host"),
+    )
+
+
+@register(
+    "frontier_seen_antijoin",
+    f"""
+    WITH seeds AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+         seen AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    SELECT s.doc_id, s.url
+    FROM seeds s ANTI JOIN seen ON s.doc_id = seen.doc_id
+    """,
+    doc="Frontier ∖ seen anti-join — the per-round dedup step (north rule "
+        "URL-seen set; reference: out_path.exists() skip, 01…ipynb:786).",
+)
+def frontier_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = _seed_urls(spark, sf_dir)
+    seen = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return seeds.join(seen, "doc_id", "left_anti").select("doc_id", "url")
+
+
+@register(
+    "politeness_schedule",
+    f"""
+    WITH canon AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2 THEN 'hdx.humdata.org'
+                  ELSE lower(source) || '.example.org' END AS host
+      FROM documents
+    )
+    SELECT host, doc_id,
+           row_number() OVER (PARTITION BY host ORDER BY doc_id) AS fetch_seq,
+           CAST(floor((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1) / 2)
+                AS BIGINT) AS time_slot
+    FROM canon
+    """,
+    doc="Per-host politeness slot assignment at 2 req/s (reference "
+        "requests_per_second=2.0, 01…ipynb:111 + _rate_limit :390): fetch_seq "
+        "per host, two fetches per time slot. The window shuffle partitions "
+        "by host — the skewed hot host is exactly what salting/AQE handles in "
+        "the real frontier loop.",
+)
+def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 5 < 2, F.lit("hdx.humdata.org")).otherwise(
+        F.concat(F.lower(F.col("source")), F.lit(".example.org"))
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        d.select("doc_id", host.alias("host"))
+        .withColumn("fetch_seq", F.row_number().over(w))
+        .withColumn(
+            "time_slot", F.floor((F.col("fetch_seq") - 1) / 2).cast("long")
+        )
+        .select("host", "doc_id", "fetch_seq", "time_slot")
+    )
+
+
+@register(
+    "host_partition_stats",
+    None,  # xxhash64 partition assignment — Spark-specific, rows-only check
+    doc="Frontier partition-balance diagnostics: docs per pmod(xxhash64(url), "
+        "32) partition with and without hot-host salting (north rule skew "
+        "handling). Asserted quantitatively in tests/test_crawl_engine.py.",
+)
+def host_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = _seed_urls(spark, sf_dir)
+    canon = canonicalize_urls(spark, sf_dir).select("doc_id", "canon_url", "host")
+    salted = canon.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(F.col("host"), F.pmod(F.xxhash64("canon_url"), F.lit(8))), F.lit(32)),
+    )
+    return salted.groupBy("partition_id").agg(F.count("*").alias("n_urls"))

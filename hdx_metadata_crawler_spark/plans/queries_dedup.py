@@ -1,0 +1,96 @@
+"""Dedup queries over the `documents` corpus (SURVEY A7/A8 + engine-new
+MinHash-LSH / SimHash for training-data curation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "exact_dedup_groups",
+    """
+    SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents
+    GROUP BY lang, n_chars
+    """,
+    doc="Exact dedup by key with first-seen keep policy (SURVEY A7/A8, "
+        "07…ipynb first-seen maps).",
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, ["lang", "n_chars"], "doc_id")
+
+
+_JACCARD_ORACLE = """
+WITH idx AS (
+  SELECT doc_id AS _id, unnest(shingles) AS shingle
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [array_to_string(toks, ' ')] END AS shingles
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents)
+  )
+),
+sizes AS (SELECT _id, count(*) AS n_sh FROM idx GROUP BY _id),
+inter AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a._id < b._id
+  GROUP BY a._id, b._id
+)
+SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa._id
+JOIN sizes sb ON inter.id_b = sb._id
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="Exact 3-gram Jaccard similarity join via shingle inverted index "
+        "(engine-new; verifies the MinHash-LSH path).",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register(
+    "minhash_lsh_dedup",
+    None,  # xxhash64-based — not reproducible in DuckDB; verified in tests/
+    doc="MinHash(32) + banded LSH(8×4) near-dup candidates with estimated "
+        "Jaccard — the 100 TB-scale dedup path (bucket-join, never all-pairs). "
+        "Rows-only driver check; recall vs the exact n-gram Jaccard join is "
+        "asserted in tests/test_dedup.py.",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=32)
+    sig = sig.cache()
+    pairs = dedup.minhash_lsh_candidates(sig, bands=8, rows_per_band=4)
+    return dedup.minhash_jaccard_estimate(sig, pairs)
+
+
+@register(
+    "simhash_fingerprints",
+    None,  # xxhash64-based — verified structurally in tests/
+    doc="64-bit SimHash fingerprint per document (engine-new near-dup "
+        "sketch); Hamming-ball pairs asserted in tests/test_dedup.py.",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash64(d, "doc_id", "text").select(
+        F.col("_id").alias("doc_id"), "simhash"
+    )

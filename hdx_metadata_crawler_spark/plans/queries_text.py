@@ -1,0 +1,257 @@
+"""Text-pipeline queries: classification scoring, text analysis, scalar funcs.
+
+`classify_documents` is the flagship (SURVEY §7.2 minimum end-to-end slice):
+weighted keyword scoring → confidence bucket → candidate flag, a direct
+re-expression of ``04…ipynb:549-668 classify_dataset`` as one generated
+``select`` (zero shuffles, fully whole-stage-codegen'd).
+
+The text-analysis queries (lang-id, quality score, token stats, fingerprint)
+are the training-data-pipeline surface the 100 TB engine needs beyond the
+reference; all stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scoring import component_score, confidence_bucket
+from ..functions.text import normalize_title, slugify, tokenize
+from ..sources.tables import load_table
+from .registry import register
+
+# Component keyword vocabularies over the synthetic corpus — same structure as
+# the reference's signal dictionary sections (config/signal_dictionary.yaml).
+COMPONENT_PATTERNS: dict[str, list[str]] = {
+    "query": [r"join", r"filter", r"window", r"group", r"sort"],
+    "storage": [r"table", r"scan", r"row", r"column", r"part"],
+    "stream": [r"stream", r"batch", r"watermark", r"event"],
+}
+EXCLUSION_PATTERNS: list[str] = [r"slow"]
+
+
+def _oracle_hits(patterns: list[str]) -> str:
+    return " + ".join(
+        f"(CASE WHEN regexp_matches(text, '{p}') THEN 1 ELSE 0 END)" for p in patterns
+    )
+
+
+_CLASSIFY_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         greatest(0, 2 * ({_oracle_hits(COMPONENT_PATTERNS['query'])})
+                     - 3 * ({_oracle_hits(EXCLUSION_PATTERNS)})) AS score_query,
+         greatest(0, 2 * ({_oracle_hits(COMPONENT_PATTERNS['storage'])})
+                     - 3 * ({_oracle_hits(EXCLUSION_PATTERNS)})) AS score_storage,
+         greatest(0, 2 * ({_oracle_hits(COMPONENT_PATTERNS['stream'])})
+                     - 3 * ({_oracle_hits(EXCLUSION_PATTERNS)})) AS score_stream
+  FROM documents
+)
+SELECT doc_id, lang, score_query, score_storage, score_stream,
+       greatest(score_query, score_storage, score_stream) AS score_max,
+       (greatest(score_query, score_storage, score_stream) >= 5) AS is_candidate,
+       CASE WHEN greatest(score_query, score_storage, score_stream) >= 7 THEN 'high'
+            WHEN greatest(score_query, score_storage, score_stream) >= 4 THEN 'medium'
+            ELSE 'low' END AS confidence
+FROM scored
+"""
+
+
+@register(
+    "classify_documents",
+    _CLASSIFY_ORACLE,
+    doc="FLAGSHIP — weighted component scoring + thresholds (SURVEY A2, "
+        "04…ipynb:549-668 classify_dataset; thresholds ≥5 candidate / ≥7 high "
+        "/ ≥4 medium). One select, ~20 generated rlike columns, no shuffle.",
+)
+def classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scores = {
+        f"score_{comp}": component_score(text, pats, EXCLUSION_PATTERNS)
+        for comp, pats in COMPONENT_PATTERNS.items()
+    }
+    scored = d.select("doc_id", "lang", *[c.alias(n) for n, c in scores.items()])
+    score_max = F.greatest(*[F.col(n) for n in scores]).alias("score_max")
+    return scored.select(
+        "*",
+        score_max,
+        (F.greatest(*[F.col(n) for n in scores]) >= 5).alias("is_candidate"),
+        confidence_bucket(F.greatest(*[F.col(n) for n in scores])).alias("confidence"),
+    )
+
+
+@register(
+    "top15_candidates",
+    f"""
+    WITH c AS ({_CLASSIFY_ORACLE})
+    SELECT doc_id, score_max, confidence FROM c
+    ORDER BY score_max DESC, doc_id LIMIT 15
+    """,
+    doc="Top candidates display (SURVEY T2, 04…ipynb cell-6-1 "
+        "sort_values(score_max).head(15)).",
+)
+def top15_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        classify_documents(spark, sf_dir)
+        .select("doc_id", "score_max", "confidence")
+        .orderBy(F.desc("score_max"), "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "token_counts_top20",
+    """
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+    doc="Corpus frequency stats (SURVEY A1, 03…ipynb:439-520 Counter + "
+        "most_common): explode → hash agg → top-k.",
+)
+def token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_quality",
+    """
+    SELECT doc_id,
+           n_tokens,
+           round(avg_token_len, 4)  AS avg_token_len,
+           round(stopword_ratio, 4) AS stopword_ratio,
+           round(quality, 4)        AS quality
+    FROM (
+      SELECT doc_id,
+             len(toks)                                   AS n_tokens,
+             (n_chars * 1.0) / len(toks)                 AS avg_token_len,
+             len(list_filter(toks, t -> t IN ('the','a','of','and')))
+               * 1.0 / len(toks)                         AS stopword_ratio,
+             least(1.0, len(toks) / 50.0) * 0.5
+               + (1.0 - len(list_filter(toks, t -> t IN ('the','a','of','and')))
+                        * 1.0 / len(toks)) * 0.5         AS quality
+      FROM (SELECT doc_id, n_chars,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+            FROM documents)
+    )
+    """,
+    doc="Quality scoring for training-data curation (engine-new; mirrors "
+        "NB13's weighted sub-score cascade shape, 13…ipynb:949): token count, "
+        "length ratio, stopword ratio → composite quality.",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and")])
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.5 + (1.0 - stop_ratio) * 0.5
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tokens, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(lower(text), 'the|and|of')
+                     AND NOT regexp_matches(lower(text), 'der|und|le|la|el')
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+    doc="Language-ID n-gram heuristic (engine-new training-data op; the "
+        "synthetic corpus carries ground-truth `lang`).",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    guess = F.when(
+        low.rlike("the|and|of") & ~low.rlike("der|und|le|la|el"), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprint_dups",
+    """
+    SELECT fp, count(*) AS dup_count, min(doc_id) AS first_doc_id
+    FROM (SELECT doc_id, sha256(substr(text, 1, 16)) AS fp FROM documents)
+    GROUP BY fp
+    HAVING count(*) > 1
+    """,
+    doc="Content-hash duplicate detection (SURVEY A8, 07…ipynb:458 "
+        "sha256_file + first-seen map): prefix fingerprint → sha256 → group.",
+)
+def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2(F.substring("text", 1, 16), 256).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@register(
+    "normalize_slug",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g'))                       AS norm_text,
+           substr(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9]+', '_', 'g'), '_+', '_', 'g'), '^_|_$', '', 'g'),
+                  1, 40)                                                AS slug
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="normalize_title + slugify as pure column expressions (SURVEY P8/A6, "
+        "01…ipynb:514, 08…ipynb:1196).",
+)
+def normalize_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        normalize_title(F.col("text")).alias("norm_text"),
+        slugify(F.col("text"), 40).alias("slug"),
+    )
+
+
+@register(
+    "regex_extract_numbers",
+    """
+    SELECT CAST(n_str AS INTEGER) AS brand_num, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(p_brand, '[0-9]+')) AS n_str FROM part)
+    GROUP BY 1
+    """,
+    doc="regexp_extract_all + explode + cast (SURVEY §2.8 regex-extract "
+        "family: return-period extraction 09…ipynb RP_PATTERNS with "
+        "transform(cast int)).",
+)
+def regex_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.explode(F.regexp_extract_all("p_brand", F.lit("[0-9]+"), 0)).alias("n_str")
+        )
+        .select(F.col("n_str").cast("int").alias("brand_num"))
+        .groupBy("brand_num")
+        .agg(F.count("*").alias("cnt"))
+    )

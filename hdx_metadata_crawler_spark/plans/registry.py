@@ -1,0 +1,67 @@
+"""Query registry: every implemented SURVEY.md §2 operator as a
+(Spark callable, DuckDB oracle SQL) pair.
+
+Conventions (driver contract, see /root/repo/__spark_entry__.py):
+- callables take ``(spark, sf_dir)`` and return a DataFrame;
+- every computed column is aliased identically in Spark and oracle SQL;
+- float aggregates are rounded (2-4 dp) in BOTH engines so the value-hash
+  comparison is robust to summation-order differences;
+- timestamps are emitted as formatted strings in BOTH engines;
+- top-k queries carry a TOTAL deterministic ORDER BY (tie-broken by key) so
+  LIMIT contents agree.
+
+Ops with no SQL-expressible oracle (MinHash-LSH, SimHash, the crawl frontier)
+register ``oracle=None`` → the driver records a rows-only check; their real
+verification lives in tests/.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all query-defining modules exactly once (they self-register)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import queries_core  # noqa: F401
+    from . import queries_text  # noqa: F401
+    from . import queries_dedup  # noqa: F401
+    from . import queries_similarity  # noqa: F401
+    from . import queries_crawl  # noqa: F401
+    _LOADED = True

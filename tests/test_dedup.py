@@ -1,0 +1,82 @@
+"""Dedup operator semantics: MinHash-LSH recall vs the exact n-gram Jaccard
+join, SimHash structure, shingle construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdx_metadata_crawler_spark.operators import dedup
+from tests.conftest import SF_MEDIUM
+
+
+def _docs(spark, sf=SF_MEDIUM):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], ["id", "text"])
+    out = df.select(dedup.shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    assert out == ["only two"]
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["id", "text"])
+    out = df.select(dedup.shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    assert sorted(out) == ["a b c", "b c d", "c d e"]
+
+
+def test_minhash_estimates_close_to_exact(spark):
+    """For pairs the LSH surfaces, the 32-hash MinHash estimate should be
+    within 0.35 of exact Jaccard (coarse bound for 32 hashes)."""
+    d = _docs(spark)
+    exact = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.0)
+    sig = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=32).cache()
+    cands = dedup.minhash_lsh_candidates(sig)
+    est = dedup.minhash_jaccard_estimate(sig, cands)
+    joined = est.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", "est_jaccard", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
+    )
+    rows = joined.collect()
+    assert rows, "LSH should surface at least one candidate pair on sf0.01"
+    for r in rows:
+        assert abs(r["est_jaccard"] - r["jaccard"]) <= 0.35, r
+
+
+def test_lsh_recall_on_high_jaccard_pairs(spark):
+    """Every pair with exact Jaccard >= 0.5 must be caught by 8x4 LSH
+    (probability of missing at J=0.5: (1-0.5^4)^8 ≈ 0.60 per pair — so only
+    assert on very-high-J pairs where miss probability is negligible)."""
+    d = _docs(spark)
+    exact = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+    sig = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=32).cache()
+    cands = dedup.minhash_lsh_candidates(sig)
+    missed = exact.join(cands, ["id_a", "id_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_simhash_deterministic_and_near_for_near_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine with columnar execution and hash join"),
+            (2, "spark query engine with columnar execution and hash joins"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["_id"]: r["simhash"] for r in dedup.simhash64(df, "doc_id", "text").collect()}
+    out2 = {r["_id"]: r["simhash"] for r in dedup.simhash64(df, "doc_id", "text").collect()}
+    assert out == out2  # deterministic
+    h12 = bin((out[1] ^ out[2]) & (2**64 - 1)).count("1")
+    h13 = bin((out[1] ^ out[3]) & (2**64 - 1)).count("1")
+    assert h12 < h13  # near texts closer than unrelated texts
+
+
+def test_exact_dedup_first_seen(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 10), (3, "y", 20)], ["id", "k1", "k2"]
+    )
+    out = {
+        (r["k1"], r["k2"]): (r["keep_id"], r["n_dups"])
+        for r in dedup.exact_dedup(df, ["k1", "k2"], "id").collect()
+    }
+    assert out == {("x", 10): (1, 2), ("y", 20): (3, 1)}
