@@ -1,0 +1,124 @@
+"""Deterministic synthetic crawl universe — no network, no external data.
+
+Mirrors the reference's crawl inputs (FIXTURES.md F2/F3): a CKAN-like catalog
+of dataset records behind URLs, with the reference's observed failure
+behavior (≈0.2% permanent errors like errors_datasets.jsonl's 60/26,246;
+retryable 429/5xx a la ``01…ipynb:403-470``), plus host skew (≥70% of URLs on
+one hot host — the hdx.humdata.org hotspot the north rule calls out).
+
+Everything is a pure function of the url/id — the Spark fetch stage (pandas
+UDF) and the pure-Python NB01 simulator call the SAME resolver, so parity
+tests compare two *executions*, not two copies of the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+HOT_HOST = "hdx.humdata.org"
+MIRROR_HOSTS = ("mirror-a.example.org", "mirror-b.example.org", "cdn.example.net")
+
+# Failure model (deterministic in url): ~0.2% permanent, ~2% transient
+# (succeed on retry attempt >= needed_attempts).
+PERMANENT_FAIL_MOD = 499  # h % 499 == 0  → ~0.2%
+TRANSIENT_FAIL_MOD = 47  # h % 47 == 0   → ~2%, succeeds at attempt 2
+
+_VOCAB = (
+    "flood hazard earthquake exposure vulnerability loss population building "
+    "infrastructure risk assessment return period rainfall cyclone drought "
+    "landslide tsunami admin boundary census survey damage"
+).split()
+
+
+def _h(s: str) -> int:
+    """Stable 64-bit integer hash (shared by simulator and Spark UDF)."""
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
+def dataset_id_for(seq: int) -> str:
+    """Deterministic uuid-ish dataset id, sorted order == seq order."""
+    return f"{seq:08d}-{_h(str(seq)) % 10**12:012d}"
+
+
+def seed_url(seq: int) -> str:
+    """Seed URL for dataset #seq; ≥70% on the hot host (skew by design)."""
+    ds = dataset_id_for(seq)
+    if seq % 10 < 7:
+        return f"https://{HOT_HOST}/dataset/{ds}/download_metadata?format=json"
+    host = MIRROR_HOSTS[seq % len(MIRROR_HOSTS)]
+    return f"https://{host}/hdx/{ds}/metadata.json"
+
+
+def seed_urls(n: int) -> list[str]:
+    return [seed_url(i) for i in range(n)]
+
+
+@dataclass
+class FetchResult:
+    status: str  # 'ok' | 'retry' | 'error'
+    dataset_id: str
+    title: str
+    notes: str
+    tags: list[str]
+    resources: list[tuple[str, str]]  # (name, download_url)
+    discovered: list[str]  # new frontier URLs
+
+
+def fetch(url: str, attempt: int) -> FetchResult:
+    """Deterministic synthetic fetch — the stand-in for
+    ``HDXClient.get_json`` + ``download_dataset_metadata``
+    (01…ipynb:355-470, :673-736).  status='retry' models 429/5xx (succeeds
+    once attempt reaches 2); status='error' models the permanent 0.2%."""
+    h = _h(url)
+    ds = url.split("/dataset/")[-1].split("/")[0] if "/dataset/" in url else \
+        url.split("/hdx/")[-1].split("/")[0]
+    empty = FetchResult("error", ds, "", "", [], [], [])
+    if h % PERMANENT_FAIL_MOD == 0:
+        return empty
+    if h % TRANSIENT_FAIL_MOD == 0 and attempt < 2:
+        return FetchResult("retry", ds, "", "", [], [], [])
+    # Deterministic record content from the id hash.
+    r = _h(ds)
+    title = " ".join(_VOCAB[(r >> (4 * i)) % len(_VOCAB)] for i in range(4))
+    notes = " ".join(_VOCAB[(r >> (3 * i)) % len(_VOCAB)] for i in range(12))
+    tags = sorted({_VOCAB[(r >> (5 * i)) % len(_VOCAB)] for i in range(3)})
+    n_res = 1 + r % 3
+    resources = [
+        (
+            f"resource_{i}",
+            f"https://{HOT_HOST}/dataset/{ds}/resource/{i}/download/data_{i}.csv",
+        )
+        for i in range(n_res)
+    ]
+    # Frontier expansion: every 10th SEED dataset links 2 related datasets
+    # (discovered ids live at seq >= 100000 and do not re-expand, so the
+    # frontier is bounded: n_seeds * 1.2).
+    discovered = []
+    seq = int(ds.split("-")[0])
+    if seq % 10 == 0 and seq < 100000:
+        discovered = [seed_url(100000 + seq * 2), seed_url(100000 + seq * 2 + 1)]
+    return FetchResult("ok", ds, title, notes, tags, resources, discovered)
+
+
+def spans_for(res: FetchResult) -> list[tuple[str, str, str, int]]:
+    """Interleaved text+media span sequence for a fetched record — the
+    per-row invariant vs the reference (BASELINE.json input_hint): spans
+    ordered title, tags, then per resource (name text-span, media span),
+    then notes.  Returns (kind, text, media_ref, offset)."""
+    spans: list[tuple[str, str, str, int]] = []
+    off = 0
+
+    def add(kind: str, text: str, media: str):
+        nonlocal off
+        spans.append((kind, text, media, off))
+        off += 1
+
+    add("text", res.title, "")
+    for t in res.tags:
+        add("text", t, "")
+    for name, url in res.resources:
+        add("text", name, "")
+        add("media", "", url)
+    add("text", res.notes, "")
+    return spans

@@ -1,0 +1,450 @@
+"""Iterative URL-frontier crawl engine (north rule core).
+
+Re-expresses NB01's single-process crawl loop (``01…ipynb:738-830
+run_dataset_crawl``) as a driver-side iteration of declarative per-round
+Spark plans (SURVEY §3.1 'Spark re-expression'):
+
+round r:
+  1. candidates = frontier ∖ seen       — partitioned-Bloom probe + exact
+                                          anti-join rescue (bloom.py)
+  2. page      = top page_size by (priority, canon_url)  — the reference's
+                                          deterministic id-asc page order
+  3. schedule  = per-host fetch_seq/time_slot at rps     — politeness
+                                          (window over salted host groups)
+  4. fetch     = mapInPandas over host-hash-salted partitions calling the
+                 deterministic resolver (sources/synthetic.fetch — the same
+                 function the pure-Python oracle simulator calls)
+  5. route     = ok → manifest+documents (+discovered → frontier′)
+                 retry → frontier′ with attempt+1 (≤ max_retries)
+                 else → errors
+  6. commit    = parquet snapshot of {frontier, seen, manifest, errors,
+                 documents} + atomic _COMMIT.json (metrics + lineage);
+                 a killed run resumes from the last committed round with
+                 identical state (tested in tests/test_crawl_engine.py).
+
+Documents are written with interleaved text+media spans assembled
+SPARK-SIDE (array/struct/transform with index lambdas — no Python), matching
+the input_hint schema (doc_id, spans array<struct<kind,text,media_ref,
+offset>>) plus per-partition lineage columns (round, partition_id, source).
+
+Scale design: the only shuffles per round are (a) the rescue anti-join on
+bloom-positive candidates, (b) the page top-k, (c) one repartition by
+salted host-hash before the fetch stage.  The hot-host skew (≥70% of URLs on
+one host) is broken by salting the repartition key with pmod(url_hash, S) —
+politeness stays correct because fetch slots were assigned *before* the
+salt split, per host globally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..sources import synthetic
+from . import bloom
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("url_hash", LongType()),
+        StructField("host", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("attempt", IntegerType()),
+    ]
+)
+
+_FETCH_SCHEMA = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("url_hash", LongType()),
+        StructField("host", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("attempt", IntegerType()),
+        StructField("time_slot", LongType()),
+        StructField("status", StringType()),
+        StructField("dataset_id", StringType()),
+        StructField("title", StringType()),
+        StructField("notes", StringType()),
+        StructField("tags", ArrayType(StringType())),
+        StructField(
+            "resources",
+            ArrayType(
+                StructType(
+                    [StructField("name", StringType()), StructField("url", StringType())]
+                )
+            ),
+        ),
+        StructField("discovered", ArrayType(StringType())),
+    ]
+)
+
+_STATE_TABLES = ("frontier", "seen", "manifest", "errors", "documents")
+
+
+@dataclass
+class CrawlConfig:
+    page_size: int = 500
+    rps: float = 2.0
+    max_retries: int = 6
+    max_rounds: int = 100
+    bloom_partitions: int = 16
+    host_salt: int = 8  # salt fan-out for the hot-host fetch repartition
+    fetch_partitions: int = 16
+
+
+@dataclass
+class CrawlMetrics:
+    rounds: list[dict] = field(default_factory=list)
+
+    @property
+    def total_ok(self) -> int:
+        return sum(r["n_ok"] for r in self.rounds)
+
+
+def _fetch_batches(iterator):
+    """mapInPandas fetch stage — Arrow-batched; calls the SAME deterministic
+    resolver as the Python oracle simulator (no network)."""
+    for pdf in iterator:
+        out = {
+            "canon_url": [], "url_hash": [], "host": [], "priority": [],
+            "depth": [], "attempt": [], "time_slot": [], "status": [],
+            "dataset_id": [], "title": [], "notes": [], "tags": [],
+            "resources": [], "discovered": [],
+        }
+        for row in pdf.itertuples(index=False):
+            res = synthetic.fetch(row.canon_url, row.attempt)
+            out["canon_url"].append(row.canon_url)
+            out["url_hash"].append(row.url_hash)
+            out["host"].append(row.host)
+            out["priority"].append(row.priority)
+            out["depth"].append(row.depth)
+            out["attempt"].append(row.attempt)
+            out["time_slot"].append(row.time_slot)
+            out["status"].append(res.status)
+            out["dataset_id"].append(res.dataset_id)
+            out["title"].append(res.title)
+            out["notes"].append(res.notes)
+            out["tags"].append(res.tags)
+            out["resources"].append(res.resources)
+            out["discovered"].append(res.discovered)
+        yield pd.DataFrame(out)
+
+
+def build_spans(fetched_ok: DataFrame) -> DataFrame:
+    """Interleaved text+media spans, assembled with pure column expressions
+    (input_hint invariant: kind/text/media_ref/offset sequence equality)."""
+    text_span = lambda txt: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"), txt.alias("text"), F.lit("").alias("media_ref")
+    )
+    media_span = lambda url: F.struct(  # noqa: E731
+        F.lit("media").alias("kind"), F.lit("").alias("text"), url.alias("media_ref")
+    )
+    raw = F.concat(
+        F.array(text_span(F.col("title"))),
+        F.transform(F.col("tags"), lambda t: text_span(t)),
+        F.flatten(
+            F.transform(
+                F.col("resources"),
+                lambda r: F.array(text_span(r["name"]), media_span(r["url"])),
+            )
+        ),
+        F.array(text_span(F.col("notes"))),
+    )
+    spans = F.transform(
+        raw,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return fetched_ok.select(
+        F.col("dataset_id").alias("doc_id"),
+        spans.alias("spans"),
+        F.col("round"),
+        F.spark_partition_id().alias("partition_id"),
+        F.lit("synthetic_ckan").alias("source"),
+    )
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, ckpt_dir: str, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.ckpt_dir = ckpt_dir
+        self.cfg = config or CrawlConfig()
+        self.metrics = CrawlMetrics()
+
+    # ------------------------------------------------------------------ state
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.ckpt_dir, f"round_{rnd:04d}")
+
+    def latest_committed_round(self) -> int | None:
+        if not os.path.isdir(self.ckpt_dir):
+            return None
+        rounds = []
+        for name in os.listdir(self.ckpt_dir):
+            if name.startswith("round_") and os.path.exists(
+                os.path.join(self.ckpt_dir, name, "_COMMIT.json")
+            ):
+                rounds.append(int(name.split("_")[1]))
+        return max(rounds) if rounds else None
+
+    def _write_state(self, rnd: int, state: dict[str, DataFrame], metrics: dict) -> None:
+        """Parquet snapshot + atomic commit marker (reference analogue:
+        write_json tmp+os.replace, 01…ipynb:557 — here the marker rename is
+        the atomic commit point; uncommitted round dirs are ignored on
+        resume)."""
+        rdir = self._round_dir(rnd)
+        tmp = rdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for name in _STATE_TABLES:
+            # Small-state snapshot: coalesce(1) keeps the per-round file count
+            # constant in local tests.  At 10^10-frontier scale the state
+            # tables stay partitioned (Iceberg snapshots in production) and
+            # this coalesce is dropped — the commit marker is the only
+            # serial point.
+            state[name].coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "_COMMIT.json"), "w") as f:
+            json.dump({"round": rnd, "metrics": metrics}, f, indent=2)
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)
+        os.replace(tmp, rdir)
+
+    def _read_state(self, rnd: int) -> dict[str, DataFrame]:
+        rdir = self._round_dir(rnd)
+        return {
+            name: self.spark.read.parquet(os.path.join(rdir, name))
+            for name in _STATE_TABLES
+        }
+
+    # ------------------------------------------------------------------- run
+    def seed_state(self, seed_urls: list[str]) -> dict[str, DataFrame]:
+        spark = self.spark
+        seeds = spark.createDataFrame(
+            [(u.strip(),) for u in seed_urls], ["canon_url"]
+        ).select(
+            "canon_url",
+            F.xxhash64("canon_url").alias("url_hash"),
+            F.regexp_extract("canon_url", r"^https?://([^/]+)", 1).alias("host"),
+            F.lit(0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("attempt"),
+        )
+        empty = {
+            "frontier": seeds,
+            "seen": spark.createDataFrame([], "url_hash long, canon_url string"),
+            "manifest": spark.createDataFrame(
+                [],
+                "round int, rank int, canon_url string, dataset_id string, "
+                "title string, host string, time_slot long, attempt int",
+            ),
+            "errors": spark.createDataFrame(
+                [], "round int, canon_url string, dataset_id string, error string"
+            ),
+            "documents": spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("doc_id", StringType()),
+                        StructField(
+                            "spans",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField("kind", StringType()),
+                                        StructField("text", StringType()),
+                                        StructField("media_ref", StringType()),
+                                        StructField("offset", IntegerType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                        StructField("round", IntegerType()),
+                        StructField("partition_id", IntegerType()),
+                        StructField("source", StringType()),
+                    ]
+                ),
+            ),
+        }
+        return empty
+
+    def run(self, seed_urls: list[str] | None = None, resume: bool = False) -> dict:
+        cfg = self.cfg
+        last = self.latest_committed_round() if resume else None
+        if last is not None:
+            state = self._read_state(last)
+            start_round = last + 1
+        else:
+            assert seed_urls is not None, "seed_urls required for a fresh run"
+            state = self.seed_state(seed_urls)
+            start_round = 0
+            if os.path.isdir(self.ckpt_dir):
+                shutil.rmtree(self.ckpt_dir)
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+
+        for rnd in range(start_round, cfg.max_rounds):
+            t0 = time.time()
+            frontier, seen = state["frontier"], state["seen"]
+
+            # 1. candidates = frontier ∖ seen (bloom probe + exact rescue)
+            blooms = bloom.build_blooms(seen, n_partitions=cfg.bloom_partitions)
+            candidates = bloom.bloom_anti_join(
+                frontier, seen, blooms, n_partitions=cfg.bloom_partitions
+            )
+
+            # 2. deterministic page: top page_size by (priority, canon_url)
+            page = (
+                candidates.orderBy("priority", "canon_url")
+                .limit(cfg.page_size)
+                .cache()
+            )
+            n_page = page.count()
+            if n_page == 0:
+                page.unpersist()
+                break
+
+            # 3. politeness: per-host fetch_seq → time_slot at rps budget
+            w = Window.partitionBy("host").orderBy("priority", "canon_url")
+            scheduled = page.withColumn(
+                "time_slot",
+                F.floor((F.row_number().over(w) - 1) / F.lit(cfg.rps)).cast("long"),
+            )
+
+            # 4. fetch over salted host-hash partitions (skew-broken)
+            fetched = (
+                scheduled.repartition(
+                    cfg.fetch_partitions,
+                    F.xxhash64("host", F.pmod("url_hash", F.lit(cfg.host_salt))),
+                )
+                .mapInPandas(_fetch_batches, _FETCH_SCHEMA)
+                .withColumn("round", F.lit(rnd))
+                .cache()
+            )
+
+            ok = fetched.filter(F.col("status") == "ok")
+            retry = fetched.filter(F.col("status") == "retry")
+            err_now = fetched.filter(F.col("status") == "error")
+            err_exhausted = retry.filter(F.col("attempt") + 1 > cfg.max_retries)
+            retry_next = retry.filter(F.col("attempt") + 1 <= cfg.max_retries)
+
+            # 5a. manifest (crawl-order contract: rank by (priority, canon_url))
+            wr = Window.orderBy("priority", "canon_url")
+            manifest_new = ok.select(
+                "round", "canon_url", "dataset_id", "title", "host", "time_slot",
+                "attempt", "priority",
+            ).withColumn("rank", F.row_number().over(wr)).select(
+                "round", "rank", "canon_url", "dataset_id", "title", "host",
+                "time_slot", "attempt",
+            )
+
+            errors_new = err_now.select(
+                "round", "canon_url", "dataset_id",
+                F.lit("permanent_fetch_error").alias("error"),
+            ).unionByName(
+                err_exhausted.select(
+                    "round", "canon_url", "dataset_id",
+                    F.lit("max_retries_exceeded").alias("error"),
+                )
+            )
+
+            docs_new = build_spans(ok)
+
+            # 5b. frontier′ = (frontier ∖ page) ∪ retries(attempt+1) ∪ discovered
+            remaining = frontier.join(
+                page.select("url_hash"), "url_hash", "left_anti"
+            )
+            retry_rows = retry_next.select(
+                "canon_url", "url_hash", "host", "priority", "depth",
+                (F.col("attempt") + 1).alias("attempt"),
+            )
+            discovered = (
+                ok.select(F.explode("discovered").alias("raw_url"), "depth")
+                .select(
+                    F.trim("raw_url").alias("canon_url"),
+                    F.xxhash64(F.trim("raw_url")).alias("url_hash"),
+                    F.regexp_extract(F.trim("raw_url"), r"^https?://([^/]+)", 1).alias("host"),
+                    (F.col("depth") + 1).alias("priority"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.lit(0).alias("attempt"),
+                )
+                .dropDuplicates(["url_hash"])
+                .join(frontier.select("url_hash"), "url_hash", "left_anti")
+                .join(seen.select("url_hash"), "url_hash", "left_anti")
+            )
+            frontier_next = remaining.unionByName(retry_rows).unionByName(
+                discovered.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            )
+
+            # 5c. seen′ = seen ∪ finalized (ok + permanent/exhausted errors)
+            seen_next = seen.unionByName(
+                ok.select("url_hash", "canon_url")
+                .unionByName(err_now.select("url_hash", "canon_url"))
+                .unionByName(err_exhausted.select("url_hash", "canon_url"))
+            )
+
+            state = {
+                "frontier": frontier_next,
+                "seen": seen_next,
+                "manifest": state["manifest"].unionByName(manifest_new),
+                "errors": state["errors"].unionByName(errors_new),
+                "documents": state["documents"].unionByName(docs_new),
+            }
+
+            status_counts = {
+                (r["status"], r["exhausted"]): r["cnt"]
+                for r in fetched.groupBy(
+                    "status", (F.col("attempt") + 1 > cfg.max_retries).alias("exhausted")
+                ).agg(F.count("*").alias("cnt")).collect()
+            }
+            n_ok = sum(v for (s, _e), v in status_counts.items() if s == "ok")
+            n_retry = status_counts.get(("retry", False), 0)
+            n_err = sum(
+                v for (s, e), v in status_counts.items()
+                if s == "error" or (s == "retry" and e)
+            )
+            wall = time.time() - t0
+            metrics = {
+                "round": rnd,
+                "n_page": n_page,
+                "n_ok": n_ok,
+                "n_retry": n_retry,
+                "n_error": n_err,
+                "wall_sec": round(wall, 3),
+                "urls_per_sec": round(n_page / wall, 2) if wall > 0 else None,
+                "politeness_rps": cfg.rps,
+            }
+            self.metrics.rounds.append(metrics)
+
+            # 6. atomic checkpoint (resume point)
+            self._write_state(rnd, state, metrics)
+            state = self._read_state(rnd)  # re-root lineage on the snapshot
+            fetched.unpersist()
+            page.unpersist()
+
+        final_round = self.latest_committed_round()
+        return {
+            "final_round": final_round,
+            "metrics": self.metrics.rounds,
+            "state": state,
+        }

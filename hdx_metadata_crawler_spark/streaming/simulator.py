@@ -1,0 +1,99 @@
+"""Pure-Python reference simulator of the NB01 crawl semantics.
+
+This is the ORACLE for the Spark frontier engine (SURVEY §5 'crawl-semantics
+parity'): it re-states the reference's behavior — deterministic id-asc page
+order (``01…ipynb:635 sort="id asc"``, 500 rows/page ``:110``), skip-existing
+seen set (``:786``), retry budget with max_retries (``:403-470``), per-host
+politeness slots at requests_per_second (``:390``) — as a few dozen lines of
+obviously-correct single-threaded Python.  The Spark engine must reproduce
+its crawl ordering, final seen set, manifest, and error list EXACTLY.
+
+Crawl-order contract (SURVEY §7.4 risk 1): within a round, fetched-ok docs
+are ordered by (priority, canon_url); rounds concatenate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..sources import synthetic
+
+
+def canon(url: str) -> str:
+    """Canonical form for seen-set identity (synthetic URLs are already
+    canonical; kept as a hook so both sides share one definition)."""
+    return url.strip()
+
+
+@dataclass
+class SimState:
+    manifest: list[dict] = field(default_factory=list)  # crawl order, ok docs
+    errors: list[dict] = field(default_factory=list)
+    seen: set[str] = field(default_factory=set)
+    spans: dict[str, list[tuple]] = field(default_factory=dict)
+    rounds: int = 0
+
+
+def run_crawl(
+    seeds: list[str],
+    page_size: int = 500,
+    rps: float = 2.0,
+    max_retries: int = 6,
+    max_rounds: int = 100,
+) -> SimState:
+    st = SimState()
+    # frontier: canon_url -> (priority, depth, attempt)
+    frontier: dict[str, tuple[int, int, int]] = {
+        canon(u): (0, 0, 0) for u in seeds
+    }
+    for rnd in range(max_rounds):
+        candidates = sorted(
+            ((prio, cu) for cu, (prio, _d, _a) in frontier.items() if cu not in st.seen)
+        )
+        if not candidates:
+            break
+        st.rounds += 1
+        page = candidates[:page_size]
+        # politeness bookkeeping: per-host fetch sequence → time slot
+        host_seq: dict[str, int] = {}
+        for prio, cu in page:
+            _prio, depth, attempt = frontier.pop(cu)
+            host = cu.split("/")[2]
+            seq = host_seq.get(host, 0)
+            host_seq[host] = seq + 1
+            slot = int(seq // rps)
+            res = synthetic.fetch(cu, attempt)
+            if res.status == "ok":
+                st.seen.add(cu)
+                st.manifest.append(
+                    {
+                        "round": rnd,
+                        "canon_url": cu,
+                        "dataset_id": res.dataset_id,
+                        "title": res.title,
+                        "host": host,
+                        "time_slot": slot,
+                        "attempt": attempt,
+                    }
+                )
+                st.spans[res.dataset_id] = synthetic.spans_for(res)
+                for d in res.discovered:
+                    dc = canon(d)
+                    if dc not in st.seen and dc not in frontier:
+                        frontier[dc] = (depth + 1, depth + 1, 0)
+            elif res.status == "retry":
+                if attempt + 1 > max_retries:
+                    st.seen.add(cu)
+                    st.errors.append(
+                        {"round": rnd, "canon_url": cu, "dataset_id": res.dataset_id,
+                         "error": "max_retries_exceeded"}
+                    )
+                else:
+                    frontier[cu] = (prio, depth, attempt + 1)
+            else:  # permanent error
+                st.seen.add(cu)
+                st.errors.append(
+                    {"round": rnd, "canon_url": cu, "dataset_id": res.dataset_id,
+                     "error": "permanent_fetch_error"}
+                )
+    return st

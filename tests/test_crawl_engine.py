@@ -1,0 +1,141 @@
+"""Crawl-semantics parity: the Spark frontier engine must reproduce the
+pure-Python NB01 simulator exactly (north rule) — crawl ordering, final
+URL-seen set, error list, politeness slots, and per-document span sequences
+— plus kill/resume identity and bloom-filter safety."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from hdx_metadata_crawler_spark.sources import synthetic
+from hdx_metadata_crawler_spark.streaming import bloom, simulator
+from hdx_metadata_crawler_spark.streaming.frontier import CrawlConfig, CrawlEngine
+
+N_SEEDS = 150
+CFG = CrawlConfig(page_size=60, rps=2.0, max_retries=6, bloom_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def sim_result():
+    return simulator.run_crawl(
+        synthetic.seed_urls(N_SEEDS), page_size=CFG.page_size, rps=CFG.rps,
+        max_retries=CFG.max_retries,
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("crawl") / "ckpt")
+    engine = CrawlEngine(spark, ckpt, CFG)
+    out = engine.run(seed_urls=synthetic.seed_urls(N_SEEDS))
+    return out
+
+
+def _spark_manifest_ordered(state):
+    rows = state["manifest"].orderBy("round", "rank").collect()
+    return [
+        (r["round"], r["canon_url"], r["dataset_id"], r["title"], r["host"],
+         r["time_slot"], r["attempt"])
+        for r in rows
+    ]
+
+
+def test_crawl_ordering_parity(sim_result, spark_result):
+    sim_manifest = [
+        (m["round"], m["canon_url"], m["dataset_id"], m["title"], m["host"],
+         m["time_slot"], m["attempt"])
+        for m in sim_result.manifest
+    ]
+    assert _spark_manifest_ordered(spark_result["state"]) == sim_manifest
+
+
+def test_seen_set_parity(sim_result, spark_result):
+    spark_seen = {
+        r["canon_url"] for r in spark_result["state"]["seen"].collect()
+    }
+    assert spark_seen == sim_result.seen
+
+
+def test_error_parity(sim_result, spark_result):
+    spark_errors = {
+        (r["round"], r["canon_url"], r["error"])
+        for r in spark_result["state"]["errors"].collect()
+    }
+    sim_errors = {(e["round"], e["canon_url"], e["error"]) for e in sim_result.errors}
+    assert spark_errors == sim_errors
+
+
+def test_span_sequence_parity(sim_result, spark_result):
+    """Per-row invariant (input_hint): span-sequence equality
+    (kind, text, media_ref, order) for every document."""
+    docs = spark_result["state"]["documents"].collect()
+    assert len(docs) == len(sim_result.spans)
+    for row in docs:
+        expected = sim_result.spans[row["doc_id"]]
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        assert got == expected, row["doc_id"]
+
+
+def test_politeness_budget_respected(spark_result):
+    """No host may receive more than ceil(rps) fetches in any time slot."""
+    from collections import Counter
+
+    rows = spark_result["state"]["manifest"].collect()
+    per_slot = Counter((r["round"], r["host"], r["time_slot"]) for r in rows)
+    assert per_slot and max(per_slot.values()) <= int(CFG.rps) + (CFG.rps % 1 > 0)
+
+
+def test_expansion_happened(spark_result):
+    """Discovered URLs (depth>0) must have been crawled in later rounds."""
+    m = spark_result["state"]["manifest"]
+    assert m.filter("round > 0").count() > 0
+    assert spark_result["final_round"] >= 1
+
+
+def test_resume_identical_state(spark, sim_result, spark_result, tmp_path):
+    """Kill after round 0 (simulated by a fresh engine over a checkpoint dir
+    truncated to round 0) → resume → final state identical to the
+    uninterrupted run."""
+    ckpt = str(tmp_path / "ckpt2")
+    engine = CrawlEngine(spark, ckpt, CFG)
+
+    # Run only round 0 by capping max_rounds, then 'crash'.
+    cfg1 = CrawlConfig(**{**CFG.__dict__, "max_rounds": 1})
+    e1 = CrawlEngine(spark, ckpt, cfg1)
+    e1.run(seed_urls=synthetic.seed_urls(N_SEEDS))
+    assert e1.latest_committed_round() == 0
+
+    # Resume with full budget; no seeds passed — state comes from disk.
+    e2 = CrawlEngine(spark, ckpt, CFG)
+    out2 = e2.run(resume=True)
+
+    assert _spark_manifest_ordered(out2["state"]) == _spark_manifest_ordered(
+        spark_result["state"]
+    )
+    seen1 = {r["canon_url"] for r in spark_result["state"]["seen"].collect()}
+    seen2 = {r["canon_url"] for r in out2["state"]["seen"].collect()}
+    assert seen1 == seen2
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_bloom_no_false_drops(spark):
+    """Bloom-positive candidates must be rescued by the exact join: the
+    composite anti-join equals a plain exact anti-join."""
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame(
+        [(u,) for u in synthetic.seed_urls(2000)], ["canon_url"]
+    ).select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
+    seen = urls.filter(F.col("url_hash") % 3 == 0)
+    blooms = bloom.build_blooms(seen, n_partitions=8)
+    got = {
+        r["canon_url"]
+        for r in bloom.bloom_anti_join(urls, seen, blooms, n_partitions=8).collect()
+    }
+    expected = {
+        r["canon_url"]
+        for r in urls.join(seen.select("url_hash"), "url_hash", "left_anti").collect()
+    }
+    assert got == expected
