@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus one crawl-round
+throughput measurement (the BASELINE.json metric: frontier URLs/sec +
+fetched docs/sec), and print ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {"urls_per_sec": ..., "docs_per_sec": ...}}
+
+Scaling mode (north rule: efficiency >= 0.8 from N to 4N parallelism):
+
+  python bench.py --crawl-only --cores 8 --n-urls 240000
+  python bench.py --crawl-only --cores 32 --n-urls 240000
+
+runs ONLY the crawl-round dataflow (canonicalize -> bloom seen-set probe +
+exact rescue anti-join -> per-host politeness window -> salted host-hash
+repartition -> Arrow fetch stage -> interleaved span assembly -> count) at
+the given parallelism and prints its own JSON line.  tools/run_scaling.py
+invokes both levels in subprocesses and writes the efficiency report.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per engine pillar (agg, join, top-k, window, scoring,
+# text stats, dedup sketch, ANN, crawl building blocks).
+HEADLINE = [
+    "q1_pricing_summary",
+    "region_revenue",
+    "top10_orders_revenue",
+    "top3_orders_per_customer",
+    "events_hourly",
+    "classify_documents",
+    "token_counts_top20",
+    "doc_quality",
+    "minhash_lsh_dedup",
+    "knn_bruteforce",
+    "knn_lsh",
+    "canonicalize_urls",
+    "frontier_seen_antijoin",
+    "politeness_schedule",
+]
+
+
+def _get_spark(cores: int) -> SparkSession:
+    from hdx_metadata_crawler_spark.session import get_spark
+
+    return get_spark(
+        "bench",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+
+
+def _materialize(df) -> int:
+    """Force full evaluation of every output column (noop sink consumes all
+    rows; a bare count() would let Catalyst prune the projections)."""
+    df.write.mode("overwrite").format("noop").save()
+    return -1
+
+
+def crawl_round_throughput(spark: SparkSession, n_urls: int, cores: int) -> dict:
+    """One frontier round's dataflow over n_urls synthetic seed URLs — the
+    north-rule metric.  Mirrors streaming/frontier.py's per-round plan with
+    a 30%-pre-seen seen-set so the bloom probe + exact rescue both do work.
+    The fetch stage is the deterministic resolver (sha256-based record
+    synthesis — CPU-bound, like real parse+extract work per document)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from hdx_metadata_crawler_spark.sources import synthetic
+    from hdx_metadata_crawler_spark.streaming import bloom
+    from hdx_metadata_crawler_spark.streaming.frontier import (
+        _FETCH_SCHEMA,
+        _fetch_batches,
+        build_spans,
+        politeness_slots,
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    # Fixed task counts at every parallelism level: the scaling experiment is
+    # "same job, two cluster sizes" (north rule) — only executor threads vary.
+    n_tasks = 128
+
+    @pandas_udf("string")
+    def seed_url_udf(seq: pd.Series) -> pd.Series:
+        return seq.map(synthetic.seed_url)
+
+    frontier = (
+        spark.range(n_urls, numPartitions=n_tasks)
+        .select(seed_url_udf(F.col("id")).alias("canon_url"))
+        .select(
+            "canon_url",
+            F.xxhash64("canon_url").alias("url_hash"),
+            F.regexp_extract("canon_url", r"^https?://([^/]+)", 1).alias("host"),
+            F.lit(0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("attempt"),
+        )
+    ).cache()
+    # 30% already seen → bloom-positive; the rest skip the exact join.
+    seen = frontier.filter(F.pmod("url_hash", F.lit(10)) < 3).select(
+        "url_hash", "canon_url"
+    ).cache()
+    # Materialize inputs outside the timed region — in the engine the round
+    # reads frontier/seen from the previous checkpoint snapshot, so synthetic
+    # generation cost must not pollute the round measurement.
+    frontier.count()
+    seen.count()
+
+    out_dir = tempfile.mkdtemp(prefix="bench_crawl_docs_")
+    t0 = time.time()
+    blooms = bloom.build_blooms(seen, n_partitions=16)
+    candidates = bloom.bloom_anti_join(frontier, seen, blooms, n_partitions=16)
+
+    scheduled = politeness_slots(candidates, rps=2.0, n_salts=64)
+    fetched = (
+        scheduled.repartition(
+            n_tasks, F.xxhash64("host", F.pmod("url_hash", F.lit(64)))
+        )
+        .mapInPandas(_fetch_batches, _FETCH_SCHEMA)
+        .withColumn("round", F.lit(0))
+    )
+    docs = build_spans(fetched.filter(F.col("status") == "ok"))
+    # Single pass ending in the engine's real sink (parquet snapshot); row
+    # count comes from the written footers (metadata-only read).
+    docs.write.mode("overwrite").parquet(out_dir)
+    n_docs = spark.read.parquet(out_dir).count()
+    wall = time.time() - t0
+    frontier.unpersist()
+    seen.unpersist()
+    bloom.release_persisted()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n_candidates = int(n_urls * 0.7)  # deterministic: pmod(url_hash,10)>=3
+    return {
+        "body_scale": int(os.environ.get("SPARK_GRAFT_BODY_SCALE", "1")),
+        "n_urls": n_urls,
+        "n_candidates": n_candidates,
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(n_urls / wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "cores": cores,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--n-urls", type=int, default=240_000)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument(
+        "--body-scale",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BODY_SCALE", "8")),
+        help="synthetic metadata body size multiplier (~7 KB x scale; "
+        "8 => ~31 KB/doc, representative of HDX CKAN metadata)",
+    )
+    args = ap.parse_args()
+
+    # Must be set before the JVM starts so forked Python workers inherit it.
+    os.environ["SPARK_GRAFT_BODY_SCALE"] = str(args.body_scale)
+    spark = _get_spark(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.crawl_only:
+        # JVM/Arrow warmup so the measurement is steady-state throughput.
+        crawl_round_throughput(spark, max(1000, args.n_urls // 100), args.cores)
+        res = crawl_round_throughput(spark, args.n_urls, args.cores)
+        print(json.dumps(res))
+        return 0
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = float(os.path.basename(os.path.normpath(args.sf_dir)).replace("sf", "") or 0.1)
+
+    # Warmup: touch the biggest table so JVM/codegen startup isn't billed
+    # to the first query.
+    spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _materialize(fn(spark, args.sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    crawl = crawl_round_throughput(spark, args.n_urls // 4, args.cores)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": args.cores,
+                "crawl": crawl,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,12 +15,16 @@ At 100 TB the corpus side stays partitioned; the query side is broadcast.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 # Deterministic pseudo-random hyperplanes: plane p component j derived from
-# xxhash64 — avoids numpy RNG on the driver and is reproducible everywhere.
+# a fixed LCG — no RNG state, reproducible on every executor.
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -83,35 +87,51 @@ def _plane_component(p: int, j: int) -> float:
     return (x % 2001 - 1000) / 1000.0
 
 
+def _plane_matrix(dim: int, n_planes: int, plane_offset: int = 0) -> np.ndarray:
+    """(dim × n_planes) hyperplane matrix — identical values on every executor."""
+    return np.array(
+        [
+            [_plane_component(plane_offset + p, j) for p in range(n_planes)]
+            for j in range(dim)
+        ],
+        dtype=np.float64,
+    )
+
+
+def lsh_buckets(
+    vec_col: Column, dim: int, n_tables: int = 12, planes_per_table: int = 3,
+    plane_offset: int = 0,
+) -> Column:
+    """OR-of-ANDs LSH sketch: array of n_tables bucket ids (one AND-bucket of
+    planes_per_table sign bits per table); a pair is a candidate iff ANY table
+    bucket collides.  Recall for neighbors at angle θ: 1-(1-(1-θ/π)^r)^T.
+
+    One Arrow-batched numpy matmul per batch — n_tables×planes_per_table×dim
+    multiplies stay vectorized instead of becoming thousands of Catalyst
+    expression nodes (which blew whole-stage codegen's 64 KB method limit and
+    ran ~100× slower when expressed as column algebra)."""
+    planes = _plane_matrix(dim, n_tables * planes_per_table, plane_offset)
+    shifts = np.int64(1) << np.arange(planes_per_table, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes > 0).astype(np.int64)  # (n, tables*r)
+        per_table = bits.reshape(len(vecs), n_tables, planes_per_table)
+        out = (per_table * shifts).sum(axis=2)  # (n, tables)
+        return pd.Series(list(out))
+
+    return _buckets(vec_col)
+
+
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 12, plane_offset: int = 0) -> Column:
-    """Bucket id = integer formed by the sign bits of n_planes fixed random
-    hyperplane projections (planes plane_offset..plane_offset+n_planes-1).
-    Pure column algebra over literal planes."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        proj = F.lit(0.0)
-        for j in range(dim):
-            proj = proj + F.element_at(vec_col, j + 1).cast("double") * F.lit(
-                _plane_component(plane_offset + p, j)
-            )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
-
-
-def lsh_tables(vec_col: Column, dim: int, n_tables: int, planes_per_table: int) -> Column:
-    """OR-of-ANDs LSH: array of (table, bucket) structs — one AND-bucket per
-    table, candidate iff ANY table bucket collides.  Recall for neighbors at
-    angle θ: 1 - (1 - (1-θ/π)^r)^T."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_bucket(
-                    vec_col, dim, planes_per_table, plane_offset=t * planes_per_table
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    """Single-table bucket id (sign-bit integer of n_planes projections)."""
+    return F.element_at(
+        lsh_buckets(vec_col, dim, n_tables=1, planes_per_table=n_planes,
+                    plane_offset=plane_offset),
+        1,
     )
 
 
@@ -134,13 +154,17 @@ def knn_lsh(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-        F.explode(lsh_tables(F.col(vec_col), dim, n_tables, planes_per_table)).alias("tb"),
-    ).select("query_id", "qv", "tb.table", "tb.bucket")
+        F.posexplode(
+            lsh_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
+        ).alias("table", "bucket"),
+    )
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-        F.explode(lsh_tables(F.col(vec_col), dim, n_tables, planes_per_table)).alias("tb"),
-    ).select("neighbor_id", "cv", "tb.table", "tb.bucket")
+        F.posexplode(
+            lsh_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
+        ).alias("table", "bucket"),
+    )
     scored = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

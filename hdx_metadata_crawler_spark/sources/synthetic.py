@@ -14,6 +14,8 @@ tests compare two *executions*, not two copies of the data.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 from dataclasses import dataclass
 
 HOT_HOST = "hdx.humdata.org"
@@ -65,11 +67,84 @@ class FetchResult:
     discovered: list[str]  # new frontier URLs
 
 
+def metadata_body(ds: str, scale: int | None = None) -> str:
+    """Deterministic CKAN-style JSON metadata body for dataset ``ds`` — the
+    synthetic stand-in for the HTTP response of
+    ``…/download_metadata?format=json``.  Real HDX metadata JSONs run
+    10-200 KB (`hdx_dataset_metadata_dump/`: 5 GB / 26,246 records ≈ 190 KB
+    average, docs/ARCHITECTURE.md:456); ``scale`` multiplies the filler
+    sections (~7 KB at scale=1, ~50 KB at scale=8).  Tests default to
+    scale=1 for speed; the benchmark sets SPARK_GRAFT_BODY_SCALE for a
+    representative parse cost.  The fields the crawler extracts
+    (title/notes/tags/resources) do NOT depend on scale."""
+    if scale is None:
+        scale = int(os.environ.get("SPARK_GRAFT_BODY_SCALE", "1"))
+    r = _h(ds)
+    title = " ".join(_VOCAB[(r >> (4 * i)) % len(_VOCAB)] for i in range(4))
+    notes = " ".join(_VOCAB[(r >> (3 * i)) % len(_VOCAB)] for i in range(12))
+    tags = sorted({_VOCAB[(r >> (5 * i)) % len(_VOCAB)] for i in range(3)})
+    n_res = 1 + r % 3
+    filler = " ".join(_VOCAB[(r >> (2 * i)) % len(_VOCAB)] for i in range(64))
+    long_desc = " ".join(
+        _VOCAB[(r >> ((i % 29) + (i // 29))) % len(_VOCAB)]
+        for i in range(320 * scale)
+    )
+    doc = {
+        "id": ds,
+        "name": f"ds-{ds[:8]}",
+        "title": title,
+        "notes": notes,
+        "dataset_source": "synthetic",
+        "license_title": "Creative Commons Attribution",
+        "license_id": "cc-by",
+        "dataset_date": "[2020-01-01T00:00:00 TO 2024-12-31T23:59:59]",
+        "metadata_created": "2024-01-01T00:00:00",
+        "metadata_modified": "2024-06-01T00:00:00",
+        "data_update_frequency": "365",
+        "methodology": "Other",
+        "methodology_other": filler,
+        "caveats": filler[:120],
+        "organization": {
+            "id": ds[::-1],
+            "title": f"Org {ds[:6]}",
+            "description": long_desc[:400],
+        },
+        "groups": [{"name": _VOCAB[(r >> i) % len(_VOCAB)]} for i in range(4)],
+        "tags": [{"name": t, "vocabulary_id": None} for t in tags],
+        "resources": [
+            {
+                "id": f"{ds}-{i}",
+                "name": f"resource_{i}",
+                "format": "CSV",
+                "url": f"https://{HOT_HOST}/dataset/{ds}/resource/{i}/download/data_{i}.csv",
+                "description": long_desc[:300],
+                "created": "2024-01-01T00:00:00",
+                "last_modified": "2024-06-01T00:00:00",
+                "size": r % 10**9,
+                "mimetype": "text/csv",
+                "hash": ds,
+                "position": i,
+                "state": "active",
+            }
+            for i in range(n_res)
+        ],
+        "extras": [
+            {"key": f"field_{i}", "value": long_desc[i * 12 : (i + 1) * 12]}
+            for i in range(24 * scale)
+        ],
+        "description_long": long_desc,
+    }
+    return json.dumps(doc)
+
+
 def fetch(url: str, attempt: int) -> FetchResult:
     """Deterministic synthetic fetch — the stand-in for
     ``HDXClient.get_json`` + ``download_dataset_metadata``
     (01…ipynb:355-470, :673-736).  status='retry' models 429/5xx (succeeds
-    once attempt reaches 2); status='error' models the permanent 0.2%."""
+    once attempt reaches 2); status='error' models the permanent 0.2%.
+    A successful fetch pays the realistic per-document cost: synthesize the
+    ~10 KB JSON body, ``json.loads`` it (= response decode), and extract
+    the crawler's fields from the parsed document."""
     h = _h(url)
     ds = url.split("/dataset/")[-1].split("/")[0] if "/dataset/" in url else \
         url.split("/hdx/")[-1].split("/")[0]
@@ -78,19 +153,11 @@ def fetch(url: str, attempt: int) -> FetchResult:
         return empty
     if h % TRANSIENT_FAIL_MOD == 0 and attempt < 2:
         return FetchResult("retry", ds, "", "", [], [], [])
-    # Deterministic record content from the id hash.
-    r = _h(ds)
-    title = " ".join(_VOCAB[(r >> (4 * i)) % len(_VOCAB)] for i in range(4))
-    notes = " ".join(_VOCAB[(r >> (3 * i)) % len(_VOCAB)] for i in range(12))
-    tags = sorted({_VOCAB[(r >> (5 * i)) % len(_VOCAB)] for i in range(3)})
-    n_res = 1 + r % 3
-    resources = [
-        (
-            f"resource_{i}",
-            f"https://{HOT_HOST}/dataset/{ds}/resource/{i}/download/data_{i}.csv",
-        )
-        for i in range(n_res)
-    ]
+    doc = json.loads(metadata_body(ds))
+    title = doc["title"]
+    notes = doc["notes"]
+    tags = [t["name"] for t in doc["tags"]]
+    resources = [(res["name"], res["url"]) for res in doc["resources"]]
     # Frontier expansion: every 10th SEED dataset links 2 related datasets
     # (discovered ids live at seq >= 100000 and do not re-expand, so the
     # frontier is bounded: n_seeds * 1.2).

@@ -68,7 +68,7 @@ def build_blooms(
         ]
     )
 
-    def build_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m, dtype=bool)
         hashes = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
         if len(hashes):
@@ -127,7 +127,14 @@ def bloom_anti_join(
             out[mask] = bits[pos].all(axis=1)
         return pd.Series(out)
 
-    flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
+    # Persist the flagged frontier: both branches (pass-through and rescue)
+    # consume it, and without a persist the probe UDF + candidate lineage
+    # would be recomputed once per branch (measured ~2x the probe cost per
+    # round).  The engine releases it at the end of each round via
+    # release_persisted(); at cluster scale this is the round's shuffle
+    # output staying materialized, which Spark does anyway.
+    flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col))).persist()
+    _PERSISTED.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     rescue = (
         flagged.filter(F.col("_maybe_seen"))
@@ -135,3 +142,12 @@ def bloom_anti_join(
         .join(seen.select(hash_col).distinct(), hash_col, "left_anti")
     )
     return definitely_new.unionByName(rescue)
+
+
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist intermediates pinned by bloom_anti_join (call per round)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()

@@ -108,6 +108,40 @@ class CrawlConfig:
     bloom_partitions: int = 16
     host_salt: int = 8  # salt fan-out for the hot-host fetch repartition
     fetch_partitions: int = 16
+    politeness_salts: int = 8  # parallel sub-queues per host (see politeness_slots)
+
+
+def politeness_slots(page: DataFrame, rps: float, n_salts: int) -> DataFrame:
+    """Two-phase salted politeness schedule — skew-free slot assignment.
+
+    A single ``Window.partitionBy(host)`` puts the hot host's entire page in
+    ONE sort task (measured: 6x slower at 32 cores than 8 on a 1M-URL round,
+    because the giant skewed partition spills once executor memory is shared
+    by more concurrent tasks).  Instead each host is split into ``n_salts``
+    sub-queues by ``crc32(canon_url) % n_salts`` (crc32 so the pure-Python
+    oracle simulator computes the identical salt via ``zlib.crc32``), ranked
+    independently, and interleaved round-robin:
+
+        global_seq = local_rank * n_salts + salt
+        time_slot  = floor(global_seq / rps)
+
+    global_seq is injective per host (local_rank distinct within a sub-queue,
+    salt distinct across), so every slot still gets at most ``rps`` fetches
+    per host — the politeness budget of ``01…ipynb:390 _rate_limit`` holds
+    exactly, while the sort parallelism is n_salts per host instead of 1.
+    """
+    salt = F.pmod(F.crc32(F.encode("canon_url", "utf-8")), F.lit(n_salts)).cast("int")
+    w = Window.partitionBy("host", "salt").orderBy("priority", "canon_url")
+    return (
+        page.withColumn("salt", salt)
+        .withColumn(
+            "time_slot",
+            F.floor(
+                ((F.row_number().over(w) - 1) * n_salts + F.col("salt")) / F.lit(rps)
+            ).cast("long"),
+        )
+        .drop("salt")
+    )
 
 
 @dataclass
@@ -324,12 +358,8 @@ class CrawlEngine:
                 page.unpersist()
                 break
 
-            # 3. politeness: per-host fetch_seq → time_slot at rps budget
-            w = Window.partitionBy("host").orderBy("priority", "canon_url")
-            scheduled = page.withColumn(
-                "time_slot",
-                F.floor((F.row_number().over(w) - 1) / F.lit(cfg.rps)).cast("long"),
-            )
+            # 3. politeness: salted per-host sub-queues → time_slot at rps budget
+            scheduled = politeness_slots(page, cfg.rps, cfg.politeness_salts)
 
             # 4. fetch over salted host-hash partitions (skew-broken)
             fetched = (
@@ -441,6 +471,7 @@ class CrawlEngine:
             state = self._read_state(rnd)  # re-root lineage on the snapshot
             fetched.unpersist()
             page.unpersist()
+            bloom.release_persisted()
 
         final_round = self.latest_committed_round()
         return {

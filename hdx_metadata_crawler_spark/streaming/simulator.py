@@ -14,6 +14,7 @@ are ordered by (priority, canon_url); rounds concatenate.
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
 
 from ..sources import synthetic
@@ -23,6 +24,25 @@ def canon(url: str) -> str:
     """Canonical form for seen-set identity (synthetic URLs are already
     canonical; kept as a hook so both sides share one definition)."""
     return url.strip()
+
+
+def politeness_slots(
+    page: list[tuple[int, str]], rps: float, n_salts: int
+) -> dict[str, int]:
+    """canon_url → time_slot, the salted two-phase schedule (the exact
+    definition of ``frontier.politeness_slots``): per (host, crc32(url) %
+    n_salts) sub-queue local rank, interleaved ``local*n_salts + salt``,
+    slot = floor(global_seq / rps).  zlib.crc32 == Spark's crc32."""
+    by_queue: dict[tuple[str, int], list[tuple[int, str]]] = {}
+    for prio, cu in page:
+        host = cu.split("/")[2]
+        salt = zlib.crc32(cu.encode("utf-8")) % n_salts
+        by_queue.setdefault((host, salt), []).append((prio, cu))
+    slots: dict[str, int] = {}
+    for (_host, salt), entries in by_queue.items():
+        for local, (_prio, cu) in enumerate(sorted(entries)):
+            slots[cu] = int((local * n_salts + salt) // rps)
+    return slots
 
 
 @dataclass
@@ -40,6 +60,7 @@ def run_crawl(
     rps: float = 2.0,
     max_retries: int = 6,
     max_rounds: int = 100,
+    politeness_salts: int = 8,
 ) -> SimState:
     st = SimState()
     # frontier: canon_url -> (priority, depth, attempt)
@@ -54,14 +75,12 @@ def run_crawl(
             break
         st.rounds += 1
         page = candidates[:page_size]
-        # politeness bookkeeping: per-host fetch sequence → time slot
-        host_seq: dict[str, int] = {}
+        # politeness bookkeeping: salted per-host sub-queues → time slot
+        slots = politeness_slots(page, rps, politeness_salts)
         for prio, cu in page:
             _prio, depth, attempt = frontier.pop(cu)
             host = cu.split("/")[2]
-            seq = host_seq.get(host, 0)
-            host_seq[host] = seq + 1
-            slot = int(seq // rps)
+            slot = slots[cu]
             res = synthetic.fetch(cu, attempt)
             if res.status == "ok":
                 st.seen.add(cu)
