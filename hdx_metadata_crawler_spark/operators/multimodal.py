@@ -1,0 +1,134 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Design (per the engine's training-data-pipeline surface): media lives as an
+opaque ``binary`` column with a typed metadata struct beside it; decode /
+feature-extract / resize / frame-sample run as Arrow-batched functions over
+``mapInPandas`` so each executor processes whole record batches with numpy —
+never per-row Python object hops.  At 100 TB the binary column dominates I/O,
+so every operator here projects the binary away as early as the semantics
+allow and the parquet scan prunes it for metadata-only queries.
+
+The actual image/audio codecs are NOT in this container, so ``decode_image``
+raises NotImplementedError unless the deterministic stub is requested; the
+Spark-side plumbing (schemas, batch shapes, partitioning) is real and
+oracle-tested via byte-level features that DuckDB can recompute.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_kind", StringType()),  # 'image' | 'audio' | 'video'
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """documents -> media table: payload = utf-8 bytes of the text (an
+    opaque deterministic blob standing in for encoded image/audio data),
+    typed metadata derived from doc stats.  Entirely JVM-side."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return documents.select(
+        "doc_id",
+        kind.alias("media_kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+    )
+
+
+def decode_image(payload: bytes, stub: bool = False) -> np.ndarray:
+    """Decode an encoded image payload to an HxWx3 array.
+
+    The real decoder needs an image library that is not installed in this
+    container — the plumbing around it is tested with the deterministic
+    stub (bytes tiled into a fixed 4x4x3 frame)."""
+    if not stub:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "call with stub=True for the deterministic fake decode"
+        )
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    tiled = np.resize(buf if buf.size else np.zeros(1, dtype=np.uint8), 48)
+    return tiled.reshape(4, 4, 3)
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("head_byte", IntegerType()),
+        StructField("byte_sum_mod", LongType()),
+        StructField("mean_pixel", IntegerType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload: size, head
+    byte, checksum, and the stub-decoded mean pixel.  One numpy pass per
+    record batch (mapInPandas) — the pattern a real decoder plugs into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len).astype("int64")
+            head = payloads.map(lambda b: b[0] if len(b) else 0).astype("int32")
+            bsum = payloads.map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) % 1000
+            ).astype("int64")
+            mean_px = payloads.map(
+                lambda b: int(decode_image(b, stub=True).mean())
+            ).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_kind"],
+                    "n_bytes": n_bytes,
+                    "head_byte": head,
+                    "byte_sum_mod": bsum,
+                    "mean_pixel": mean_px,
+                }
+            )
+
+    return media.mapInPandas(batches, _FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, stride: int = 16) -> DataFrame:
+    """Frame sampling for 'video' payloads: one row per sampled frame offset
+    (every ``stride`` bytes).  The offset enumeration is pure column algebra
+    (sequence + explode) so Catalyst handles it; a real frame decoder would
+    consume (payload, frame_offset) pairs in a downstream mapInPandas."""
+    video = media.filter(F.col("media_kind") == "video")
+    offsets = F.sequence(
+        F.lit(0), F.greatest(F.length("payload") - 1, F.lit(0)), F.lit(stride)
+    )
+    return video.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.explode(offsets).alias("frame_offset"),
+    )

@@ -83,6 +83,51 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_estimate(sig, pairs)
 
 
+_COSINE_NEARDUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+     idx AS (SELECT unnest(range(1, 65)) AS i),
+     d AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM v CROSS JOIN idx),
+     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM d GROUP BY vec_id),
+     dots AS (
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
+       FROM d a JOIN d b ON a.i = b.i AND a.vec_id < b.vec_id
+       GROUP BY a.vec_id, b.vec_id)
+SELECT id_a, id_b,
+       round(dp / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM dots
+JOIN norms na ON dots.id_a = na.vec_id
+JOIN norms nb ON dots.id_b = nb.vec_id
+WHERE round(dp / (na.nrm * nb.nrm), 4) >= 0.40
+"""
+
+
+@register(
+    "cosine_neardup_exact",
+    _COSINE_NEARDUP_ORACLE,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.40) — the exact "
+        "baseline for embedding dedup (engine-new training-data op): "
+        "self-join on id_a < id_b, zip_with dot product, JVM-side. The "
+        "LSH-bucketed variant (knn_lsh machinery) is the 100 TB path; this "
+        "exact form is the recall oracle.",
+)
+def cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.40)
+    )
+
+
 @register(
     "simhash_fingerprints",
     None,  # xxhash64-based — verified structurally in tests/

@@ -1,0 +1,482 @@
+"""Extractor/report-layer queries (SURVEY v4-v6): the OSM multi-rule
+detector, text sanitization, return-period extraction with event assembly,
+composite confidence scoring + tiering, pivot/cube reports, missing-field
+explode counts, dim-table country resolution, and the pilot shortlist.
+
+Every query is pure column algebra (no Python in the row path) with a
+DuckDB oracle; reference citations per operator in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# P4 — OSM detector: multi-rule boolean predicate with reasons + strong set
+# (02…ipynb:437-560 detect_osm: 4 strong rules => flag, else >=2 supporting)
+# ---------------------------------------------------------------------------
+
+_RULES = [
+    ("rule_table", "table"),
+    ("rule_stream", "stream"),
+    ("rule_join", "join"),
+    ("rule_window", "window"),
+    ("rule_vector", "vector"),
+    ("rule_merge", "merge"),
+]
+_STRONG = ["rule_table", "rule_stream"]
+
+
+@register(
+    "osm_detector",
+    f"""
+    WITH rules AS (
+      SELECT doc_id,
+             {', '.join(f"regexp_matches(text, '{pat}') AS {name}"
+                        for name, pat in _RULES)}
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_filter([{', '.join(f"CASE WHEN {name} THEN '{name}' ELSE NULL END"
+                                     for name, _ in _RULES)}],
+                         x -> x IS NOT NULL), ','), '') AS reasons,
+           (rule_table OR rule_stream) AS strong_hit,
+           ({' + '.join(f"CASE WHEN {name} THEN 1 ELSE 0 END"
+                        for name, _ in _RULES if name not in _STRONG)})
+             AS n_supporting,
+           ((rule_table OR rule_stream)
+            OR ({' + '.join(f"CASE WHEN {name} THEN 1 ELSE 0 END"
+                            for name, _ in _RULES if name not in _STRONG)}) >= 2)
+             AS flagged
+    FROM rules
+    """,
+    doc="Multi-rule boolean detector with fired-reasons evidence (SURVEY P4, "
+        "02…ipynb:437-560 detect_osm: strong-rule => flag, else >=2 "
+        "supporting rules). Pure column expressions — per-rule booleans, "
+        "reasons via filtered literal array, no UDF.",
+)
+def osm_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rules = d.select(
+        "doc_id", *[F.col("text").rlike(pat).alias(name) for name, pat in _RULES]
+    )
+    reasons = F.filter(
+        F.array(*[
+            F.when(F.col(name), F.lit(name)).otherwise(F.lit(None))
+            for name, _ in _RULES
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    supporting = [name for name, _ in _RULES if name not in _STRONG]
+    n_supporting = sum(F.col(n).cast("int") for n in supporting)
+    strong_hit = F.col(_STRONG[0]) | F.col(_STRONG[1])
+    return rules.select(
+        "doc_id",
+        F.concat_ws(",", reasons).alias("reasons"),
+        strong_hit.alias("strong_hit"),
+        n_supporting.alias("n_supporting"),
+        (strong_hit | (n_supporting >= 2)).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — text sanitization chain (06…ipynb:552-640 sanitize_text)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sanitize_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(
+               regexp_replace(
+                 '<p>' || text || '</p> &amp; “' || lang || '”',
+                 '<[^>]+>', '', 'g'),
+               '&amp;', '&'), '&quot;', '"'), '“', '"'), '”', '"'),
+             '\\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    doc="Sanitization chain (SURVEY P7, 06…ipynb:552-640 sanitize_text): "
+        "HTML strip, entity decode, curly-quote normalize, whitespace "
+        "collapse — nested regexp_replace/replace, all JVM-side. (The "
+        "cp1252 mojibake repair step is the one pandas-UDF member of the "
+        "chain; exercised in tests/test_functions_text.py.)",
+)
+def sanitize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    messy = F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("</p> &amp; “"),
+        F.col("lang"), F.lit("”"),
+    )
+    clean = F.regexp_replace(messy, "<[^>]+>", "")
+    for src, dst in (("&amp;", "&"), ("&quot;", '"'), ("“", '"'), ("”", '"')):
+        clean = F.replace(clean, F.lit(src), F.lit(dst))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return d.select("doc_id", clean.alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# v5 — return-period extraction + hazard event assembly
+# (09…ipynb:357 RP_PATTERNS + _extract_return_periods year-guard;
+#  event build: one event per RP, event_rate = round(1/rp, 6), ids
+#  event_set_{uuid8}_{i} — 09…ipynb:402 build_hazard_block)
+# ---------------------------------------------------------------------------
+
+@register(
+    "return_period_events",
+    """
+    WITH texts AS (
+      SELECT event_id,
+             'flood hazard ' || CAST(user_id * 5 AS VARCHAR)
+               || '-year return period, sensor 2021 and '
+               || CAST(user_id * 10 AS VARCHAR) || ' year event' AS rp_text
+      FROM events WHERE event_id < 2000
+    ),
+    rps AS (
+      SELECT event_id,
+             list_sort(list_distinct(
+               list_filter(
+                 list_transform(regexp_extract_all(rp_text, '[0-9]+'),
+                                x -> CAST(x AS INTEGER)),
+                 rp -> rp > 0 AND NOT (rp BETWEEN 2000 AND 2099)))) AS rp_list
+      FROM texts
+    )
+    SELECT event_id,
+           'event_set_' || CAST(event_id AS VARCHAR) || '_'
+             || CAST(i - 1 AS VARCHAR)                    AS event_set_id,
+           rp_list[i]                                     AS return_period,
+           round(1.0 / rp_list[i], 6)                     AS event_rate
+    FROM rps, unnest(range(1, len(rp_list) + 1)) AS t(i)
+    WHERE len(rp_list) > 0
+    """,
+    doc="Return-period extraction + per-RP event assembly (SURVEY §2.8 "
+        "regex-extract + v5: 09…ipynb RP_PATTERNS, year-guard 2000-2099, "
+        "event_rate=round(1/rp,6), deterministic event ids via posexplode — "
+        "09…ipynb:402 build_hazard_block builds one event per RP).",
+)
+def return_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    rp_text = F.concat(
+        F.lit("flood hazard "), (F.col("user_id") * 5).cast("string"),
+        F.lit("-year return period, sensor 2021 and "),
+        (F.col("user_id") * 10).cast("string"), F.lit(" year event"),
+    )
+    rp_list = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.regexp_extract_all(rp_text, F.lit("[0-9]+"), 0),
+                    lambda x: x.cast("int"),
+                ),
+                lambda rp: (rp > 0) & ~rp.between(2000, 2099),
+            )
+        )
+    )
+    return (
+        ev.select("event_id", rp_list.alias("rp_list"))
+        .filter(F.size("rp_list") > 0)
+        .select("event_id", F.posexplode("rp_list").alias("i", "return_period"))
+        .select(
+            "event_id",
+            F.concat_ws(
+                "_", F.lit("event_set"), F.col("event_id"), F.col("i")
+            ).alias("event_set_id"),
+            "return_period",
+            F.round(F.lit(1.0) / F.col("return_period"), 6).alias("event_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9/A10 — composite confidence scoring, tiering, tier pivot
+# (13…ipynb:949 compute_composite_confidence, weights .40/.25/.20/.15,
+#  tier thresholds .8/.5 at :149; cell 19/20 tier x validity counts)
+# ---------------------------------------------------------------------------
+
+def _composite(d: DataFrame) -> DataFrame:
+    coverage = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    richness = F.least(F.lit(1.0), F.size(F.split("text", " ")) / F.lit(60.0))
+    schema_s = F.when(F.col("lang") == "en", 1.0).otherwise(0.5)
+    metadata = F.when(F.col("source").rlike("^src1"), 1.0).otherwise(0.8)
+    composite = coverage * 0.40 + richness * 0.25 + schema_s * 0.20 + metadata * 0.15
+    tier = (
+        F.when(composite >= 0.8, "high")
+        .when(composite >= 0.5, "medium")
+        .otherwise("low")
+    )
+    return d.select(
+        "doc_id",
+        F.round(coverage, 4).alias("coverage"),
+        F.round(richness, 4).alias("richness"),
+        F.round(composite, 4).alias("composite"),
+        tier.alias("tier"),
+        F.col("lang"),
+    )
+
+
+_COMPOSITE_ORACLE_BODY = """
+  SELECT doc_id,
+         round(least(1.0, n_chars / 400.0), 4) AS coverage,
+         round(least(1.0, len(string_split(text, ' ')) / 60.0), 4) AS richness,
+         round(least(1.0, n_chars / 400.0) * 0.40
+               + least(1.0, len(string_split(text, ' ')) / 60.0) * 0.25
+               + (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.5 END) * 0.20
+               + (CASE WHEN regexp_matches(source, '^src1') THEN 1.0 ELSE 0.8 END)
+                 * 0.15, 4) AS composite,
+         CASE WHEN least(1.0, n_chars / 400.0) * 0.40
+                   + least(1.0, len(string_split(text, ' ')) / 60.0) * 0.25
+                   + (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.5 END) * 0.20
+                   + (CASE WHEN regexp_matches(source, '^src1') THEN 1.0 ELSE 0.8 END)
+                     * 0.15 >= 0.8 THEN 'high'
+              WHEN least(1.0, n_chars / 400.0) * 0.40
+                   + least(1.0, len(string_split(text, ' ')) / 60.0) * 0.25
+                   + (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.5 END) * 0.20
+                   + (CASE WHEN regexp_matches(source, '^src1') THEN 1.0 ELSE 0.8 END)
+                     * 0.15 >= 0.5 THEN 'medium'
+              ELSE 'low' END AS tier,
+         lang
+  FROM documents
+"""
+
+
+@register(
+    "composite_scoring",
+    f"SELECT doc_id, coverage, richness, composite, tier, lang FROM ({_COMPOSITE_ORACLE_BODY})",
+    doc="Composite confidence scoring + tier ladder (SURVEY A9, "
+        "13…ipynb:949: weighted 0.40 coverage + 0.25 richness + 0.20 schema "
+        "+ 0.15 metadata; tiers at 0.8/0.5).",
+)
+def composite_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _composite(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tier_matrix",
+    f"""
+    SELECT tier,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n_other
+    FROM ({_COMPOSITE_ORACLE_BODY})
+    GROUP BY tier
+    """,
+    doc="Tier distribution 2-D pivot (SURVEY A10, 13…ipynb cell 19/20 tier x "
+        "validity counts): groupBy().pivot() with a FIXED pivot value list so "
+        "no extra distinct-values job runs.",
+)
+def tier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _composite(load_table(spark, sf_dir, "documents"))
+    pivoted = (
+        scored.withColumn(
+            "lang_bucket", F.when(F.col("lang") == "en", "n_en").otherwise("n_other")
+        )
+        .groupBy("tier")
+        .pivot("lang_bucket", ["n_en", "n_other"])
+        .count()
+    )
+    return pivoted.select(
+        "tier",
+        F.coalesce("n_en", F.lit(0)).alias("n_en"),
+        F.coalesce("n_other", F.lit(0)).alias("n_other"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — cube / grouping-set report (06…ipynb cell 22 multi-key reports)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cube_report",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregation — the unified form of the reference's repeated "
+        "same-data-different-key reports (SURVEY A11, 06…ipynb cell 22, "
+        "12…ipynb:937 stats).",
+)
+def cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — missing-field explode-count (07…ipynb cell 13)
+# ---------------------------------------------------------------------------
+
+@register(
+    "missing_fields_top",
+    """
+    SELECT field, count(*) AS cnt
+    FROM (
+      SELECT unnest(string_split(
+        concat_ws(';',
+          CASE WHEN doc_id % 2 = 0 THEN 'title' END,
+          CASE WHEN doc_id % 3 = 0 THEN 'notes' END,
+          CASE WHEN doc_id % 5 = 0 THEN 'license' END,
+          CASE WHEN doc_id % 7 = 0 THEN 'methodology' END,
+          CASE WHEN doc_id % 11 = 0 THEN 'caveats' END), ';')) AS field
+      FROM documents
+    )
+    WHERE field <> ''
+    GROUP BY field
+    ORDER BY cnt DESC, field
+    LIMIT 20
+    """,
+    doc="Missing-field explode-count (SURVEY A12, 07…ipynb cell 13: split "
+        "';' -> explode -> value_counts top-20). The ';'-list is synthesized "
+        "deterministically from doc_id.",
+)
+def missing_fields_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    missing = F.concat_ws(
+        ";",
+        F.when(F.col("doc_id") % 2 == 0, "title"),
+        F.when(F.col("doc_id") % 3 == 0, "notes"),
+        F.when(F.col("doc_id") % 5 == 0, "license"),
+        F.when(F.col("doc_id") % 7 == 0, "methodology"),
+        F.when(F.col("doc_id") % 11 == 0, "caveats"),
+    )
+    return (
+        d.select(F.explode(F.split(missing, ";")).alias("field"))
+        .filter(F.col("field") != "")
+        .groupBy("field")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "field")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — country-name resolution: fixes table -> dim table -> fallback,
+# plus region -> member expansion (06…ipynb:794 country_name_to_iso3,
+# :675 REGION_TO_COUNTRIES)
+# ---------------------------------------------------------------------------
+
+_NATION_FIXES = [("NATION_3", "FX3"), ("NATION_17", "FX17"), ("NATION_9", "FX9")]
+
+
+@register(
+    "country_resolution",
+    f"""
+    WITH fixes(fix_name, fix_code) AS (
+      VALUES {', '.join(f"('{n}', '{c}')" for n, c in _NATION_FIXES)}
+    ),
+    dim AS (SELECT n_nationkey, n_name,
+                   'ISO' || CAST(n_nationkey AS VARCHAR) AS dim_code
+            FROM nation)
+    SELECT c_custkey,
+           coalesce(f.fix_code, d.dim_code, 'UNK') AS resolved_code
+    FROM customer c
+    LEFT JOIN dim d ON c.c_nationkey = d.n_nationkey
+    LEFT JOIN fixes f ON d.n_name = f.fix_name
+    """,
+    doc="Country resolution via coalesce chain over broadcast dims (SURVEY "
+        "J8, 06…ipynb:794: fixes table first, then the main dim table, then "
+        "fallback code). Both dims are broadcast — zero shuffle on the fact "
+        "side.",
+)
+def country_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = n.select(
+        "n_nationkey",
+        "n_name",
+        F.concat(F.lit("ISO"), F.col("n_nationkey").cast("string")).alias("dim_code"),
+    )
+    fixes = c.sparkSession.createDataFrame(_NATION_FIXES, ["fix_name", "fix_code"])
+    return (
+        c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey, "left")
+        .join(F.broadcast(fixes), dim.n_name == fixes.fix_name, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("fix_code", "dim_code", F.lit("UNK")).alias("resolved_code"),
+        )
+    )
+
+
+@register(
+    "region_member_expansion",
+    """
+    SELECT r.r_name AS region, n.n_name AS member,
+           count(c.c_custkey) AS n_customers
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Region -> member-country expansion + per-member rollup (SURVEY J8 "
+        "region expansion: join to region_members then explode — "
+        "06…ipynb:675 REGION_TO_COUNTRIES).",
+)
+def region_member_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        r.join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("member"))
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — pilot shortlist: top-N per bucket, buckets ordered by size
+# (02…ipynb:785 make_pilot_shortlist, PILOT_MAX_PER_BUCKET)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pilot_shortlist",
+    """
+    WITH sized AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             c_nationkey % 5 AS theme,
+             count(*) OVER (PARTITION BY c_mktsegment, c_nationkey % 5)
+               AS bucket_size,
+             row_number() OVER (PARTITION BY c_mktsegment, c_nationkey % 5
+                                ORDER BY c_name, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT c_mktsegment AS segment, theme, bucket_size, rn, c_custkey, c_name
+    FROM sized WHERE rn <= 3
+    """,
+    doc="Top-N per (segment, theme) bucket with bucket sizes (SURVEY W1, "
+        "02…ipynb:785 make_pilot_shortlist: <=N per bucket ordered by name; "
+        "bucket ordering via the size column). One window shuffle, two "
+        "functions over the same frame.",
+)
+def pilot_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    theme = (F.col("c_nationkey") % 5).alias("theme")
+    w = Window.partitionBy("c_mktsegment", "theme")
+    w_rn = w.orderBy("c_name", "c_custkey")
+    return (
+        c.select("c_custkey", "c_name", "c_mktsegment", theme)
+        .withColumn("bucket_size", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"), "theme", "bucket_size",
+            "rn", "c_custkey", "c_name",
+        )
+    )

@@ -1,0 +1,148 @@
+"""Streaming-layer queries (SURVEY §2.9).
+
+The reference is a batch crawler with streaming-shaped state (unbounded CKAN
+pagination, resume, retry backpressure) — the frontier engine covers those.
+This module adds the Structured-Streaming surface a 100 TB event pipeline
+needs: windowed aggregation with a watermark over a streaming read
+(``availableNow`` trigger so the query drains the source and terminates —
+batch-equivalent semantics, oracle-checkable), session windows, and
+approximate distinct sketches for frontier-scale metrics.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "stream_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window aggregate with 2h watermark, "
+        "availableNow trigger, memory sink (SURVEY §2.9 watermark/window "
+        "row). readStream over the same parquet the oracle reads — identical "
+        "results because availableNow drains the full source before "
+        "terminating.",
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    table = f"stream_hourly_{int(time.time() * 1000) % 10**9}"
+    stream = (
+        spark.readStream.schema(schema)
+        # The file-stream source requires a directory basePath; select just
+        # the events table out of the shared sf dir with a glob filter.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+        # tz is pinned to UTC, so the cast is value-preserving).
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Session windows with a 30-minute inactivity gap — "
+        "F.session_window in Spark vs the lag+cumulative-sum formulation in "
+        "the DuckDB oracle (the two classic definitions must agree exactly). "
+        "Batch mode here; the same expression works under a watermark in "
+        "update-mode streaming.",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true                    AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HLL++) for frontier-scale metrics (SURVEY "
+        "§2.4 note: the engine's addition for 10^10-URL counting where exact "
+        "distinct is a full shuffle). The oracle checks the sketch lands "
+        "within 5% of exact — both engines emit the exact count plus the "
+        "tolerance verdict.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+    )

@@ -64,4 +64,7 @@ def _ensure_loaded() -> None:
     from . import queries_dedup  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_crawl  # noqa: F401
+    from . import queries_extractors  # noqa: F401
+    from . import queries_streaming  # noqa: F401
+    from . import queries_multimodal  # noqa: F401
     _LOADED = True
