@@ -52,6 +52,13 @@ HEADLINE = [
     "canonicalize_urls",
     "frontier_seen_antijoin",
     "politeness_schedule",
+    "osm_detector",
+    "composite_scoring",
+    "return_period_events",
+    "stream_hourly_rollup",
+    "session_windows",
+    "media_features",
+    "cosine_neardup_exact",
 ]
 
 

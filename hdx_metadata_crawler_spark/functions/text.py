@@ -89,6 +89,19 @@ def fix_mojibake(s: pd.Series) -> pd.Series:
     return s.map(_fix)
 
 
+@pandas_udf(StringType())
+def nfkd_lower(s: pd.Series) -> pd.Series:
+    """NFKD-normalize + casefold (02…ipynb cell-2-1 ``norm_str``), vectorized.
+    Spark has no NFKD builtin (SURVEY §2.8 unicode row), so this is one of
+    the engine's few pandas UDFs — keep it off hot paths; comparison keys
+    that only need ASCII folding should use normalize_title instead."""
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFKD", x).lower() if x is not None else None
+    )
+
+
 MOJIBAKE_MARKER = r"(Ã|â€|Â)"
 
 

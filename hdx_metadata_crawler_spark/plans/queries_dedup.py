@@ -112,20 +112,10 @@ WHERE round(dp / (na.nrm * nb.nrm), 4) >= 0.40
         "exact form is the recall oracle.",
 )
 def cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import as_double, cosine
+    from ..operators.similarity import cosine_pairs_block
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.40)
-    )
+    return cosine_pairs_block(e, threshold=0.40)
 
 
 @register(

@@ -1,0 +1,173 @@
+"""Record-quality queries: shape normalization, coercion, duplicate-title
+grouping, and schema-style validation (SURVEY P1/P9/A6 + §5 oracle 2/4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_title
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "record_shape_normalize",
+    """
+    SELECT event_id,
+           coalesce(CAST(json_extract_string(wrapped, '$.k') AS INTEGER),
+                    CAST(json_extract_string(wrapped, '$.dataset.k') AS INTEGER),
+                    -1) AS k_norm
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN props
+                  ELSE '{"dataset": ' || props || '}' END AS wrapped
+      FROM events
+    )
+    WHERE event_id < 3000
+    """,
+    doc="Record-shape normalization: unwrap the {'dataset': {...}} fallback "
+        "wrapper via coalesce over both JSON paths (SURVEY P1, 02…ipynb "
+        "cell-2-1 normalize_dataset_record). Half the rows are wrapped "
+        "deterministically to exercise both shapes.",
+)
+def record_shape_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    wrapped = F.when(F.col("event_id") % 2 == 0, F.col("props")).otherwise(
+        F.concat(F.lit('{"dataset": '), F.col("props"), F.lit("}"))
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object(wrapped, "$.k").cast("int"),
+            F.get_json_object(wrapped, "$.dataset.k").cast("int"),
+            F.lit(-1),
+        ).alias("k_norm"),
+    )
+
+
+@register(
+    "bool_coercion",
+    """
+    SELECT raw,
+           CASE WHEN lower(trim(raw)) IN ('true', '1', 'yes', 'y') THEN true
+                WHEN lower(trim(raw)) IN ('false', '0', 'no', 'n', '') THEN false
+                ELSE NULL END AS as_bool,
+           count(*) AS cnt
+    FROM (
+      SELECT CASE event_id % 7
+               WHEN 0 THEN 'true' WHEN 1 THEN ' True ' WHEN 2 THEN '1'
+               WHEN 3 THEN 'YES'  WHEN 4 THEN 'false'  WHEN 5 THEN '0'
+               ELSE 'maybe' END AS raw
+      FROM events
+    )
+    GROUP BY raw
+    """,
+    doc="Robust CSV bool round-trip coercion (SURVEY P9, 05…ipynb "
+        "_to_bool_series: 'true'/'1'/'yes' => True, unknown => NULL).",
+)
+def bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 7 == 0, "true")
+        .when(F.col("event_id") % 7 == 1, " True ")
+        .when(F.col("event_id") % 7 == 2, "1")
+        .when(F.col("event_id") % 7 == 3, "YES")
+        .when(F.col("event_id") % 7 == 4, "false")
+        .when(F.col("event_id") % 7 == 5, "0")
+        .otherwise("maybe")
+    )
+    low = F.lower(F.trim(F.col("raw")))
+    as_bool = (
+        F.when(low.isin("true", "1", "yes", "y"), F.lit(True))
+        .when(low.isin("false", "0", "no", "n", ""), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return (
+        ev.select(raw.alias("raw"))
+        .groupBy("raw")
+        .agg(F.count("*").alias("cnt"))
+        .select("raw", as_bool.alias("as_bool"), "cnt")
+    )
+
+
+@register(
+    "dup_titles",
+    """
+    SELECT norm_title, count(*) AS n_docs, min(doc_id) AS first_doc_id
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(substr(text, 1, 30)),
+                    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_title
+      FROM documents
+    )
+    GROUP BY norm_title
+    HAVING count(*) > 1
+    """,
+    doc="Duplicate-title grouping on the normalized key (SURVEY A6, "
+        "08…ipynb:1196 normalize_title + value_counts>1). The 'title' is the "
+        "first 30 chars of text (the synthetic corpus has no separate title "
+        "column).",
+)
+def dup_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            normalize_title(F.substring("text", 1, 30)).alias("norm_title"),
+        )
+        .groupBy("norm_title")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# Required-field / codelist validation — the engine form of the reference's
+# JSON-Schema oracle (06…ipynb:1701, 13…ipynb:523 Draft2020-12 validation +
+# error categorization :1129).  Full jsonschema runs in tests when the lib is
+# present; the in-engine validator is pure column algebra so it scales.
+
+_VALID_LANGS = ("en", "fr", "es", "de", "pt")
+
+
+@register(
+    "validate_records",
+    f"""
+    SELECT doc_id,
+           (text IS NOT NULL AND text <> ''
+            AND lang IN {str(tuple(_VALID_LANGS))}
+            AND n_chars > 0) AS is_valid,
+           coalesce(array_to_string(list_filter([
+             CASE WHEN text IS NULL OR text = '' THEN 'missing_text' END,
+             CASE WHEN lang NOT IN {str(tuple(_VALID_LANGS))} THEN 'bad_lang' END,
+             CASE WHEN n_chars <= 0 THEN 'bad_n_chars' END
+           ], x -> x IS NOT NULL), ';'), '') AS errors
+    FROM documents
+    """,
+    doc="Structural validation with error categorization (SURVEY §5 "
+        "mechanisms 2/4: required fields present, codelist membership; "
+        "06…ipynb:1701 / 13…ipynb:1129 _summarize_errors). Pure column "
+        "algebra — the Draft2020-12 jsonschema UDF path is exercised in "
+        "tests when the library is available.",
+)
+def validate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    checks = [
+        ((F.col("text").isNull()) | (F.col("text") == ""), "missing_text"),
+        (~F.col("lang").isin(*_VALID_LANGS), "bad_lang"),
+        (F.col("n_chars") <= 0, "bad_n_chars"),
+    ]
+    errors = F.filter(
+        F.array(*[F.when(cond, F.lit(tag)).otherwise(F.lit(None)) for cond, tag in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return d.select(
+        "doc_id",
+        (
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & F.col("lang").isin(*_VALID_LANGS)
+            & (F.col("n_chars") > 0)
+        ).alias("is_valid"),
+        F.concat_ws(";", errors).alias("errors"),
+    )

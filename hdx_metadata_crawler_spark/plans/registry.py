@@ -67,4 +67,5 @@ def _ensure_loaded() -> None:
     from . import queries_extractors  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_multimodal  # noqa: F401
+    from . import queries_quality  # noqa: F401
     _LOADED = True

@@ -1,0 +1,76 @@
+"""Sinks: the reference's output formats re-expressed as DataFrame writes.
+
+| SURVEY | reference | here |
+|---|---|---|
+| S5 atomic JSON write (01…ipynb:557 tmp+os.replace) | per-file atomicity | write to tmp dir + atomic dir rename (the engine's checkpoint protocol, frontier._write_state, uses the same pattern with a _COMMIT marker) |
+| S6 JSONL append (01…ipynb:586 append_jsonl) | append one line per event | append-mode JSON-lines write |
+| S7 CSV report with fixed header (02…ipynb cell-4-1 write_report_csv) | DictWriter fixed cols | select(fixed_cols).write.csv(header) |
+| S8 TXT id list (03…ipynb cell-2-1) | one id per line | single-column text write / read |
+| S12 cleanup modes (01…ipynb cell-1-4 clean_previous_outputs) | replace/skip/abort | write-mode mapping overwrite/ignore/errorifexists |
+| T4 tiered manifest writes (13…ipynb:1338 distribute_tiered_records) | per-tier folders sorted by score | partitionBy(tier) + per-partition sort |
+
+At cluster scale these writes are the Iceberg-table appends described in
+SURVEY §2.1; the parquet/CSV/text forms here are the sandbox-runnable
+equivalents with the same atomicity contract (tmp + rename commit point).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CLEANUP_MODES = {"replace": "overwrite", "skip": "ignore", "abort": "errorifexists"}
+
+
+def write_report_csv(df: DataFrame, path: str, columns: list[str], mode: str = "replace") -> None:
+    """Fixed-header CSV report (S7): exactly ``columns``, in order."""
+    df.select(*columns).write.mode(CLEANUP_MODES[mode]).option("header", True).csv(path)
+
+
+def write_ids_txt(df: DataFrame, id_col: str, path: str, mode: str = "replace") -> None:
+    """One id per line (S8)."""
+    df.select(F.col(id_col).cast("string").alias("value")).write.mode(
+        CLEANUP_MODES[mode]
+    ).text(path)
+
+
+def read_ids_txt(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.text(path).select(F.col("value").alias("id"))
+
+
+def append_jsonl(df: DataFrame, path: str) -> None:
+    """Append-only JSON-lines log (S6, manifest/errors semantics)."""
+    df.write.mode("append").json(path)
+
+
+def atomic_write_json(df: DataFrame, path: str) -> None:
+    """Atomic directory write (S5): materialize to a tmp sibling, then one
+    os.replace — readers never observe a partial output.  This is the same
+    commit protocol as the frontier checkpoint (_COMMIT marker variant)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").json(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def write_tiered(df: DataFrame, path: str, tier_col: str, order_col: str) -> None:
+    """Tiered distribution (T4): one folder per tier, rows within each tier
+    files sorted by score descending (13…ipynb:1338).  partitionBy gives the
+    per-tier folders; sortWithinPartitions gives the in-file order without a
+    global sort."""
+    # Sort key leads with the partition column: the dynamic-partition writer
+    # requires rows clustered by partition col and would otherwise inject its
+    # own sort, destroying the score order.  (tier, score desc) satisfies the
+    # writer's required ordering, so our order survives into the files.
+    (
+        df.repartition(F.col(tier_col))
+        .sortWithinPartitions(F.col(tier_col), F.desc(order_col))
+        .write.mode("overwrite")
+        .partitionBy(tier_col)
+        .parquet(path)
+    )

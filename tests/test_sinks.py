@@ -1,0 +1,82 @@
+"""Sink semantics: fixed-header CSV, id lists, JSONL append, atomic JSON
+write, cleanup modes, tiered distribution (SURVEY S5-S8, S12, T4)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdx_metadata_crawler_spark.sources import sinks
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+
+
+def test_csv_report_fixed_header(spark, docs, tmp_path):
+    out = str(tmp_path / "report")
+    sinks.write_report_csv(docs, out, ["doc_id", "lang", "n_chars"])
+    back = spark.read.option("header", True).csv(out)
+    assert back.columns == ["doc_id", "lang", "n_chars"]
+    assert back.count() == 50
+
+
+def test_ids_txt_roundtrip(spark, docs, tmp_path):
+    out = str(tmp_path / "ids")
+    sinks.write_ids_txt(docs, "doc_id", out)
+    back = sinks.read_ids_txt(spark, out)
+    assert {int(r["id"]) for r in back.collect()} == {
+        r["doc_id"] for r in docs.collect()
+    }
+
+
+def test_jsonl_append_accumulates(spark, docs, tmp_path):
+    out = str(tmp_path / "log")
+    sinks.append_jsonl(docs.select("doc_id"), out)
+    sinks.append_jsonl(docs.select("doc_id"), out)
+    assert spark.read.json(out).count() == 100
+
+
+def test_atomic_write_replaces(spark, docs, tmp_path):
+    out = str(tmp_path / "atomic")
+    sinks.atomic_write_json(docs.select("doc_id"), out)
+    first = spark.read.json(out).count()
+    sinks.atomic_write_json(docs.limit(10).select("doc_id"), out)
+    assert first == 50 and spark.read.json(out).count() == 10
+    assert not glob.glob(f"{out}.tmp-*"), "no tmp dirs may survive the commit"
+
+
+def test_cleanup_modes(spark, docs, tmp_path):
+    out = str(tmp_path / "modes")
+    sinks.write_ids_txt(docs, "doc_id", out, mode="replace")
+    # skip: existing output preserved
+    sinks.write_ids_txt(docs.limit(1), "doc_id", out, mode="skip")
+    assert sinks.read_ids_txt(spark, out).count() == 50
+    # abort: refuses to overwrite
+    with pytest.raises(Exception):
+        sinks.write_ids_txt(docs, "doc_id", out, mode="abort")
+
+
+def test_tiered_write_partitions_and_order(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "high").otherwise("low").alias("tier"),
+        (F.col("id") % 17).cast("double").alias("score"),
+    )
+    out = str(tmp_path / "tiered")
+    sinks.write_tiered(df, out, "tier", "score")
+    assert {"tier=high", "tier=low"} <= set(os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    # per-tier folders exist and in-file order is score-descending
+    for tier in ("high", "low"):
+        files = glob.glob(f"{out}/tier={tier}/*.parquet")
+        assert files
+        for f in files:
+            scores = [r["score"] for r in spark.read.parquet(f).collect()]
+            assert scores == sorted(scores, reverse=True)
