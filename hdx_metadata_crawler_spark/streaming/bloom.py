@@ -16,9 +16,11 @@ Design for the 10^10-URL frontier (SURVEY §4 physical strategy 1):
   drop a URL (SURVEY §7.4 risk 2).
 - In local tests P is small; the partitioning/probe mechanics are identical.
 
-Deletion support (the cuckoo-filter fallback named by the north rule) is
-provided as a counting variant: ``build`` with ``counting=True`` keeps 8-bit
-counters per slot so ``remove`` can decrement — same API, 8× the space.
+Deletion support (the cuckoo-filter fallback named by the north rule) lives
+in ``cuckoo.py``: same partitioning and probe/rescue contract, 16-bit
+partial-key cuckoo tables with true ``remove`` — swap ``build_blooms`` /
+``bloom_anti_join`` for ``build_cuckoos`` / ``cuckoo_anti_join`` when the
+crawl needs to retract seen-set entries (content expiry, seed retraction).
 """
 
 from __future__ import annotations

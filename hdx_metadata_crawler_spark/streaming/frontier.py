@@ -57,7 +57,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..sources import synthetic
-from . import bloom
+from . import bloom, robots
 
 FRONTIER_SCHEMA = StructType(
     [
@@ -109,9 +109,15 @@ class CrawlConfig:
     host_salt: int = 8  # salt fan-out for the hot-host fetch repartition
     fetch_partitions: int = 16
     politeness_salts: int = 8  # parallel sub-queues per host (see politeness_slots)
+    respect_robots: bool = True  # robots.txt disallow + crawl-delay budgets
 
 
-def politeness_slots(page: DataFrame, rps: float, n_salts: int) -> DataFrame:
+def politeness_slots(
+    page: DataFrame,
+    rps: float,
+    n_salts: int,
+    host_rps: dict[str, float] | None = None,
+) -> DataFrame:
     """Two-phase salted politeness schedule — skew-free slot assignment.
 
     A single ``Window.partitionBy(host)`` puts the hot host's entire page in
@@ -129,15 +135,28 @@ def politeness_slots(page: DataFrame, rps: float, n_salts: int) -> DataFrame:
     salt distinct across), so every slot still gets at most ``rps`` fetches
     per host — the politeness budget of ``01…ipynb:390 _rate_limit`` holds
     exactly, while the sort parallelism is n_salts per host instead of 1.
+
+    ``host_rps`` (robots Crawl-delay overrides, streaming/robots.py) replaces
+    the global rps for listed hosts — a tiny literal map folded into the slot
+    expression, so per-host budgets cost nothing extra.
     """
     salt = F.pmod(F.crc32(F.encode("canon_url", "utf-8")), F.lit(n_salts)).cast("int")
+    if host_rps:
+        pairs: list = []
+        for h, r in sorted(host_rps.items()):
+            pairs += [F.lit(h), F.lit(float(r))]
+        rps_col = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("host")), F.lit(float(rps))
+        )
+    else:
+        rps_col = F.lit(float(rps))
     w = Window.partitionBy("host", "salt").orderBy("priority", "canon_url")
     return (
         page.withColumn("salt", salt)
         .withColumn(
             "time_slot",
             F.floor(
-                ((F.row_number().over(w) - 1) * n_salts + F.col("salt")) / F.lit(rps)
+                ((F.row_number().over(w) - 1) * n_salts + F.col("salt")) / rps_col
             ).cast("long"),
         )
         .drop("salt")
@@ -358,8 +377,46 @@ class CrawlEngine:
                 page.unpersist()
                 break
 
-            # 3. politeness: salted per-host sub-queues → time_slot at rps budget
-            scheduled = politeness_slots(page, cfg.rps, cfg.politeness_salts)
+            # 3a. robots budgeting: Disallow prefixes route to errors+seen,
+            # Crawl-delay overrides the per-host rps (north rule).  The host
+            # list per page is tiny (it is the politeness grouping key), so
+            # the policy is computed driver-side and folded into literal
+            # expressions; at 10^10 scale the same policy lives in a
+            # broadcast robots dim table, joined on host.
+            if cfg.respect_robots:
+                hosts = [r["host"] for r in page.select("host").distinct().collect()]
+                policy = robots.policy_for_hosts(hosts, cfg.rps)
+                prefix_pairs: list = []
+                for h, (prefixes, _r) in sorted(policy.items()):
+                    prefix_pairs += [
+                        F.lit(h),
+                        F.array(*[F.lit(p) for p in prefixes]) if prefixes
+                        else F.array().cast("array<string>"),
+                    ]
+                prefix_map = F.create_map(*prefix_pairs)
+                path = F.regexp_extract("canon_url", r"^https?://[^/]+([^?#]*)", 1)
+                disallowed_flag = F.exists(
+                    F.coalesce(
+                        F.element_at(prefix_map, F.col("host")),
+                        F.array().cast("array<string>"),
+                    ),
+                    lambda p: path.startswith(p),
+                )
+                flagged_page = page.withColumn("_disallowed", disallowed_flag).cache()
+                blocked = flagged_page.filter(F.col("_disallowed")).drop("_disallowed")
+                allowed = flagged_page.filter(~F.col("_disallowed")).drop("_disallowed")
+                host_rps = {h: r for h, (_p, r) in policy.items()}
+            else:
+                flagged_page = None
+                blocked = page.filter(F.lit(False))
+                allowed = page
+                host_rps = None
+
+            # 3b. politeness: salted per-host sub-queues → time_slot at the
+            # per-host rps budget
+            scheduled = politeness_slots(
+                allowed, cfg.rps, cfg.politeness_salts, host_rps
+            )
 
             # 4. fetch over salted host-hash partitions (skew-broken)
             fetched = (
@@ -388,6 +445,14 @@ class CrawlEngine:
                 "time_slot", "attempt",
             )
 
+            robots_blocked = blocked.select(
+                F.lit(rnd).alias("round"),
+                "canon_url",
+                F.regexp_extract("canon_url", r"/(?:dataset|hdx)/([^/]+)", 1).alias(
+                    "dataset_id"
+                ),
+                F.lit("robots_disallowed").alias("error"),
+            )
             errors_new = err_now.select(
                 "round", "canon_url", "dataset_id",
                 F.lit("permanent_fetch_error").alias("error"),
@@ -396,7 +461,7 @@ class CrawlEngine:
                     "round", "canon_url", "dataset_id",
                     F.lit("max_retries_exceeded").alias("error"),
                 )
-            )
+            ).unionByName(robots_blocked)
 
             docs_new = build_spans(ok)
 
@@ -426,11 +491,13 @@ class CrawlEngine:
                 discovered.select(*[f.name for f in FRONTIER_SCHEMA.fields])
             )
 
-            # 5c. seen′ = seen ∪ finalized (ok + permanent/exhausted errors)
+            # 5c. seen′ = seen ∪ finalized (ok + permanent/exhausted errors
+            # + robots-disallowed, so blocked URLs can never requeue)
             seen_next = seen.unionByName(
                 ok.select("url_hash", "canon_url")
                 .unionByName(err_now.select("url_hash", "canon_url"))
                 .unionByName(err_exhausted.select("url_hash", "canon_url"))
+                .unionByName(blocked.select("url_hash", "canon_url"))
             )
 
             state = {
@@ -453,10 +520,12 @@ class CrawlEngine:
                 v for (s, e), v in status_counts.items()
                 if s == "error" or (s == "retry" and e)
             )
+            n_blocked = blocked.count() if cfg.respect_robots else 0
             wall = time.time() - t0
             metrics = {
                 "round": rnd,
                 "n_page": n_page,
+                "n_robots_blocked": n_blocked,
                 "n_ok": n_ok,
                 "n_retry": n_retry,
                 "n_error": n_err,
@@ -471,6 +540,8 @@ class CrawlEngine:
             state = self._read_state(rnd)  # re-root lineage on the snapshot
             fetched.unpersist()
             page.unpersist()
+            if flagged_page is not None:
+                flagged_page.unpersist()
             bloom.release_persisted()
 
         final_round = self.latest_committed_round()

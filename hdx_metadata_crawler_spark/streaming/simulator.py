@@ -18,6 +18,15 @@ import zlib
 from dataclasses import dataclass, field
 
 from ..sources import synthetic
+from . import robots
+
+
+def _dataset_id_of(url: str) -> str:
+    return (
+        url.split("/dataset/")[-1].split("/")[0]
+        if "/dataset/" in url
+        else url.split("/hdx/")[-1].split("/")[0]
+    )
 
 
 def canon(url: str) -> str:
@@ -27,21 +36,26 @@ def canon(url: str) -> str:
 
 
 def politeness_slots(
-    page: list[tuple[int, str]], rps: float, n_salts: int
+    page: list[tuple[int, str]],
+    rps: float,
+    n_salts: int,
+    host_rps: dict[str, float] | None = None,
 ) -> dict[str, int]:
     """canon_url → time_slot, the salted two-phase schedule (the exact
     definition of ``frontier.politeness_slots``): per (host, crc32(url) %
     n_salts) sub-queue local rank, interleaved ``local*n_salts + salt``,
-    slot = floor(global_seq / rps).  zlib.crc32 == Spark's crc32."""
+    slot = floor(global_seq / rps_host).  zlib.crc32 == Spark's crc32;
+    host_rps carries robots Crawl-delay overrides."""
     by_queue: dict[tuple[str, int], list[tuple[int, str]]] = {}
     for prio, cu in page:
         host = cu.split("/")[2]
         salt = zlib.crc32(cu.encode("utf-8")) % n_salts
         by_queue.setdefault((host, salt), []).append((prio, cu))
     slots: dict[str, int] = {}
-    for (_host, salt), entries in by_queue.items():
+    for (host, salt), entries in by_queue.items():
+        r = (host_rps or {}).get(host, rps)
         for local, (_prio, cu) in enumerate(sorted(entries)):
-            slots[cu] = int((local * n_salts + salt) // rps)
+            slots[cu] = int((local * n_salts + salt) // r)
     return slots
 
 
@@ -61,6 +75,7 @@ def run_crawl(
     max_retries: int = 6,
     max_rounds: int = 100,
     politeness_salts: int = 8,
+    respect_robots: bool = True,
 ) -> SimState:
     st = SimState()
     # frontier: canon_url -> (priority, depth, attempt)
@@ -75,9 +90,30 @@ def run_crawl(
             break
         st.rounds += 1
         page = candidates[:page_size]
+        # robots budgeting: Disallow → errors + seen (never fetched);
+        # Crawl-delay → per-host rps override (same policy module as Spark)
+        host_rps: dict[str, float] | None = None
+        allowed = page
+        if respect_robots:
+            hosts = sorted({cu.split("/")[2] for _p, cu in page})
+            policy = robots.policy_for_hosts(hosts, rps)
+            host_rps = {h: r for h, (_pf, r) in policy.items()}
+            allowed = []
+            for prio, cu in page:
+                prefixes = policy[cu.split("/")[2]][0]
+                if robots.is_disallowed(cu, prefixes):
+                    frontier.pop(cu)
+                    st.seen.add(cu)
+                    st.errors.append(
+                        {"round": rnd, "canon_url": cu,
+                         "dataset_id": _dataset_id_of(cu),
+                         "error": "robots_disallowed"}
+                    )
+                else:
+                    allowed.append((prio, cu))
         # politeness bookkeeping: salted per-host sub-queues → time slot
-        slots = politeness_slots(page, rps, politeness_salts)
-        for prio, cu in page:
+        slots = politeness_slots(allowed, rps, politeness_salts, host_rps)
+        for prio, cu in allowed:
             _prio, depth, attempt = frontier.pop(cu)
             host = cu.split("/")[2]
             slot = slots[cu]

@@ -79,12 +79,44 @@ def test_span_sequence_parity(sim_result, spark_result):
 
 
 def test_politeness_budget_respected(spark_result):
-    """No host may receive more than ceil(rps) fetches in any time slot."""
+    """No host may receive more than ceil(rps_host) fetches in any time
+    slot, where rps_host honors the robots Crawl-delay override."""
+    import math
     from collections import Counter
+
+    from hdx_metadata_crawler_spark.streaming import robots
 
     rows = spark_result["state"]["manifest"].collect()
     per_slot = Counter((r["round"], r["host"], r["time_slot"]) for r in rows)
-    assert per_slot and max(per_slot.values()) <= int(CFG.rps) + (CFG.rps % 1 > 0)
+    assert per_slot
+    policy = robots.policy_for_hosts(
+        sorted({r["host"] for r in rows}), CFG.rps
+    )
+    for (rnd, host, slot), n in per_slot.items():
+        budget = math.ceil(policy[host][1])
+        assert n <= budget, f"{host} slot {slot} round {rnd}: {n} > {budget}"
+
+
+def test_robots_disallow_routed(sim_result, spark_result):
+    """robots-disallowed URLs appear in errors (never in the manifest) and
+    in the seen set, identically in engine and simulator."""
+    eng = {
+        r["canon_url"]
+        for r in spark_result["state"]["errors"]
+        .filter("error = 'robots_disallowed'")
+        .collect()
+    }
+    sim = {
+        e["canon_url"] for e in sim_result.errors
+        if e["error"] == "robots_disallowed"
+    }
+    assert eng == sim and eng, "expected some robots-blocked URLs"
+    manifest_urls = {
+        r["canon_url"] for r in spark_result["state"]["manifest"].collect()
+    }
+    assert not (eng & manifest_urls)
+    seen = {r["canon_url"] for r in spark_result["state"]["seen"].collect()}
+    assert eng <= seen
 
 
 def test_expansion_happened(spark_result):
