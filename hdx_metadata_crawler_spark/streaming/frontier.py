@@ -41,6 +41,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -97,6 +98,24 @@ _FETCH_SCHEMA = StructType(
 )
 
 _STATE_TABLES = ("frontier", "seen", "manifest", "errors", "documents")
+# Mutable tables are snapshotted in full every round (they change in place
+# and stay O(frontier)); append-only tables write ONLY the round's delta —
+# checkpoint cost is O(round output), not O(total crawl history).
+_MUTABLE_TABLES = ("frontier", "seen")
+_APPEND_TABLES = ("manifest", "errors", "documents")
+
+_APPEND_SCHEMAS = {
+    "manifest": (
+        "round int, rank int, canon_url string, dataset_id string, "
+        "title string, host string, time_slot long, attempt int"
+    ),
+    "errors": "round int, canon_url string, dataset_id string, error string",
+    "documents": (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, round int, partition_id int, "
+        "source string"
+    ),
+}
 
 
 @dataclass
@@ -261,35 +280,75 @@ class CrawlEngine:
                 rounds.append(int(name.split("_")[1]))
         return max(rounds) if rounds else None
 
-    def _write_state(self, rnd: int, state: dict[str, DataFrame], metrics: dict) -> None:
-        """Parquet snapshot + atomic commit marker (reference analogue:
+    def _write_state(
+        self,
+        rnd: int,
+        mutable: dict[str, DataFrame],
+        deltas: dict[str, DataFrame],
+        metrics: dict,
+    ) -> None:
+        """Per-round checkpoint + atomic commit marker (reference analogue:
         write_json tmp+os.replace, 01…ipynb:557 — here the marker rename is
         the atomic commit point; uncommitted round dirs are ignored on
-        resume)."""
+        resume).  frontier/seen are full snapshots; manifest/errors/
+        documents write only this round's delta, so a round's checkpoint
+        cost never grows with crawl history (the Iceberg-append analogue)."""
         rdir = self._round_dir(rnd)
         tmp = rdir + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        for name in _STATE_TABLES:
-            # Small-state snapshot: coalesce(1) keeps the per-round file count
-            # constant in local tests.  At 10^10-frontier scale the state
-            # tables stay partitioned (Iceberg snapshots in production) and
-            # this coalesce is dropped — the commit marker is the only
-            # serial point.
-            state[name].coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, name))
+        # The five table writes are independent Spark jobs — submit them
+        # concurrently (cluster schedulers overlap their stages; the commit
+        # marker below is still the single serial point).
+        jobs = [
+            (mutable[name], os.path.join(tmp, name)) for name in _MUTABLE_TABLES
+        ] + [
+            (deltas[name], os.path.join(tmp, f"{name}_delta"))
+            for name in _APPEND_TABLES
+        ]
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = [
+                pool.submit(
+                    lambda df, path: df.write.mode("overwrite").parquet(path),
+                    df,
+                    path,
+                )
+                for df, path in jobs
+            ]
+            for fut in futures:
+                fut.result()
         with open(os.path.join(tmp, "_COMMIT.json"), "w") as f:
             json.dump({"round": rnd, "metrics": metrics}, f, indent=2)
         if os.path.exists(rdir):
             shutil.rmtree(rdir)
         os.replace(tmp, rdir)
 
+    def _committed_rounds(self, up_to: int) -> list[int]:
+        return [
+            r
+            for r in range(up_to + 1)
+            if os.path.exists(os.path.join(self._round_dir(r), "_COMMIT.json"))
+        ]
+
     def _read_state(self, rnd: int) -> dict[str, DataFrame]:
         rdir = self._round_dir(rnd)
-        return {
+        state: dict[str, DataFrame] = {
             name: self.spark.read.parquet(os.path.join(rdir, name))
-            for name in _STATE_TABLES
+            for name in _MUTABLE_TABLES
         }
+        delta_dirs = {
+            name: [
+                os.path.join(self._round_dir(r), f"{name}_delta")
+                for r in self._committed_rounds(rnd)
+            ]
+            for name in _APPEND_TABLES
+        }
+        for name, dirs in delta_dirs.items():
+            # Explicit schema: a round with zero output writes an empty
+            # delta dir (no part files), which schema inference would choke on.
+            state[name] = self.spark.read.schema(_APPEND_SCHEMAS[name]).parquet(*dirs)
+        return state
 
     # ------------------------------------------------------------------- run
     def seed_state(self, seed_urls: list[str]) -> dict[str, DataFrame]:
@@ -500,12 +559,11 @@ class CrawlEngine:
                 .unionByName(blocked.select("url_hash", "canon_url"))
             )
 
-            state = {
-                "frontier": frontier_next,
-                "seen": seen_next,
-                "manifest": state["manifest"].unionByName(manifest_new),
-                "errors": state["errors"].unionByName(errors_new),
-                "documents": state["documents"].unionByName(docs_new),
+            new_mutable = {"frontier": frontier_next, "seen": seen_next}
+            deltas = {
+                "manifest": manifest_new,
+                "errors": errors_new,
+                "documents": docs_new,
             }
 
             status_counts = {
@@ -521,7 +579,9 @@ class CrawlEngine:
                 if s == "error" or (s == "retry" and e)
             )
             n_blocked = blocked.count() if cfg.respect_robots else 0
-            wall = time.time() - t0
+            t_fetch_done = time.time()
+
+            # 6. atomic checkpoint (resume point)
             metrics = {
                 "round": rnd,
                 "n_page": n_page,
@@ -529,14 +589,19 @@ class CrawlEngine:
                 "n_ok": n_ok,
                 "n_retry": n_retry,
                 "n_error": n_err,
-                "wall_sec": round(wall, 3),
-                "urls_per_sec": round(n_page / wall, 2) if wall > 0 else None,
                 "politeness_rps": cfg.rps,
             }
+            self._write_state(rnd, new_mutable, deltas, metrics)
+            wall = time.time() - t0
+            metrics.update(
+                {
+                    "wall_sec": round(wall, 3),
+                    "fetch_phase_sec": round(t_fetch_done - t0, 3),
+                    "checkpoint_sec": round(wall - (t_fetch_done - t0), 3),
+                    "urls_per_sec": round(n_page / wall, 2) if wall > 0 else None,
+                }
+            )
             self.metrics.rounds.append(metrics)
-
-            # 6. atomic checkpoint (resume point)
-            self._write_state(rnd, state, metrics)
             state = self._read_state(rnd)  # re-root lineage on the snapshot
             fetched.unpersist()
             page.unpersist()
