@@ -194,6 +194,91 @@ def return_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rdls_record_assembly",
+    """
+    WITH rps AS (
+      SELECT event_id,
+             list_sort(list_distinct(
+               list_filter(
+                 list_transform(regexp_extract_all(
+                   'flood hazard ' || CAST(user_id * 5 AS VARCHAR)
+                     || '-year return period, sensor 2021 and '
+                     || CAST(user_id * 10 AS VARCHAR) || ' year event',
+                   '[0-9]+'), x -> CAST(x AS INTEGER)),
+                 rp -> rp > 0 AND NOT (rp BETWEEN 2000 AND 2099)))) AS rp_list
+      FROM events WHERE event_id < 1000
+    )
+    SELECT event_id,
+           to_json(struct_pack(
+             id := 'rdls_hzd-' || CAST(event_id AS VARCHAR),
+             risk_data_type := ['hazard'],
+             event_sets := [struct_pack(
+               id := 'event_set_' || CAST(event_id AS VARCHAR) || '_0',
+               events := list_transform(rp_list, rp -> struct_pack(
+                 id := 'event_' || CAST(event_id AS VARCHAR) || '_'
+                       || CAST(rp AS VARCHAR),
+                 return_period := rp,
+                 rate_ppm := CAST(round(1000000.0 / rp) AS BIGINT))))]
+           )) AS record_json
+    FROM rps
+    WHERE len(rp_list) > 0
+    """,
+    doc="Nested RDLS-style record assembly (SURVEY §1 nested output records, "
+        "06…ipynb:1343-1520 build_rdls_record + 09…ipynb:402 "
+        "build_hazard_block): hazard.event_sets[].events[] built with pure "
+        "struct/transform column algebra, serialized with to_json — the "
+        "oracle builds byte-identical JSON via DuckDB struct_pack/to_json. "
+        "Rates carried as integer ppm so float formatting can't diverge "
+        "between serializers.",
+)
+def rdls_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    rp_text = F.concat(
+        F.lit("flood hazard "), (F.col("user_id") * 5).cast("string"),
+        F.lit("-year return period, sensor 2021 and "),
+        (F.col("user_id") * 10).cast("string"), F.lit(" year event"),
+    )
+    rp_list = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.regexp_extract_all(rp_text, F.lit("[0-9]+"), 0),
+                    lambda x: x.cast("int"),
+                ),
+                lambda rp: (rp > 0) & ~rp.between(2000, 2099),
+            )
+        )
+    )
+    eid = F.col("event_id").cast("string")
+    record = F.struct(
+        F.concat(F.lit("rdls_hzd-"), eid).alias("id"),
+        F.array(F.lit("hazard")).alias("risk_data_type"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("event_set_"), eid, F.lit("_0")).alias("id"),
+                F.transform(
+                    F.col("rp_list"),
+                    lambda rp: F.struct(
+                        F.concat(
+                            F.lit("event_"), eid, F.lit("_"), rp.cast("string")
+                        ).alias("id"),
+                        rp.alias("return_period"),
+                        F.round(F.lit(1000000.0) / rp)
+                        .cast("long")
+                        .alias("rate_ppm"),
+                    ),
+                ).alias("events"),
+            )
+        ).alias("event_sets"),
+    )
+    return (
+        ev.select("event_id", rp_list.alias("rp_list"))
+        .filter(F.size("rp_list") > 0)
+        .select("event_id", F.to_json(record).alias("record_json"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # A9/A10 — composite confidence scoring, tiering, tier pivot
 # (13…ipynb:949 compute_composite_confidence, weights .40/.25/.20/.15,
