@@ -405,6 +405,40 @@ def review_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "review_pack_topup",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal, tier
+    FROM (
+      SELECT c_custkey, c_acctbal,
+             CASE WHEN c_acctbal < -600 THEN 0 ELSE 1 END AS tier
+      FROM customer
+    )
+    ORDER BY tier,
+             CASE WHEN tier = 0 THEN c_acctbal ELSE -c_acctbal END,
+             c_custkey
+    LIMIT 200
+    """,
+    doc="Review-pack with top-up (SURVEY W3 full semantics, 05…ipynb:501-520: "
+        "primary selection head-K, then fill the remainder from the rest by "
+        "score). The reference's imperative two-step (head + anti + concat) "
+        "collapses into ONE two-tier sort: orderBy(tier, per-tier key) + "
+        "limit — a single TakeOrdered instead of two sorts and an anti-join.",
+)
+def review_pack_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    tier = F.when(F.col("c_acctbal") < -600, 0).otherwise(1)
+    tier_key = F.when(F.col("tier") == 0, F.col("c_acctbal")).otherwise(
+        -F.col("c_acctbal")
+    )
+    return (
+        c.select("c_custkey", "c_acctbal", tier.alias("tier"))
+        .orderBy("tier", tier_key, "c_custkey")
+        .limit(200)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "tier")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Top-k / sorts (SURVEY §2.6)
 # ---------------------------------------------------------------------------

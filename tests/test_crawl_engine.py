@@ -152,6 +152,32 @@ def test_resume_identical_state(spark, sim_result, spark_result, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_resume_ignores_uncommitted_debris(spark, spark_result, tmp_path):
+    """A crash can leave a .tmp staging dir and a round dir without the
+    _COMMIT marker.  Resume must ignore both (the marker rename is the only
+    commit point) and reproduce the uninterrupted run exactly."""
+    import json
+    import os
+
+    ckpt = str(tmp_path / "ckpt3")
+    cfg1 = CrawlConfig(**{**CFG.__dict__, "max_rounds": 1})
+    e1 = CrawlEngine(spark, ckpt, cfg1)
+    e1.run(seed_urls=synthetic.seed_urls(N_SEEDS))
+
+    # Simulate a crash mid-round-1: stray staging dir + marker-less round dir.
+    os.makedirs(os.path.join(ckpt, "round_0001.tmp", "frontier"), exist_ok=True)
+    os.makedirs(os.path.join(ckpt, "round_0001", "frontier"), exist_ok=True)
+    with open(os.path.join(ckpt, "round_0001", "junk.json"), "w") as f:
+        json.dump({"partial": True}, f)
+
+    e2 = CrawlEngine(spark, ckpt, CFG)
+    assert e2.latest_committed_round() == 0
+    out2 = e2.run(resume=True)
+    assert _spark_manifest_ordered(out2["state"]) == _spark_manifest_ordered(
+        spark_result["state"]
+    )
+
+
 def test_bloom_no_false_drops(spark):
     """Bloom-positive candidates must be rescued by the exact join: the
     composite anti-join equals a plain exact anti-join."""
