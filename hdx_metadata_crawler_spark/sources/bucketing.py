@@ -1,0 +1,40 @@
+"""Bucketed tables: co-located joins without a shuffle.
+
+At 100 TB the dominant cost of fact-fact joins (lineitem ⋈ orders on
+orderkey; frontier ⋈ seen on url_hash) is the shuffle of both sides.
+Writing both tables bucketed by the join key with the same bucket count
+pre-co-locates matching keys: Spark's scan exposes the bucketing as an
+output partitioning, and the SortMergeJoin consumes it with NO Exchange on
+either side.  The crawl engine's analogue is keeping `frontier` and `seen`
+hash-partitioned by ``pmod(url_hash, P)`` across rounds (bloom.py uses the
+same partition function), so every round's anti-join lines up.
+
+Bucketing requires a table catalog (`saveAsTable`); callers pass a
+warehouse-backed SparkSession.  `assert_no_shuffle_join` is the test hook:
+it fails if the join plan contains any Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
+) -> None:
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def join_exchanges(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) nodes in the executed plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
