@@ -178,6 +178,38 @@ def test_resume_ignores_uncommitted_debris(spark, spark_result, tmp_path):
     )
 
 
+def test_salted_partitioning_breaks_hot_host_skew(spark):
+    """~70% of seed URLs live on one host.  Partitioning by host alone puts
+    all of them in ONE partition; salting the key with pmod(url_hash, S)
+    caps the largest partition near the ideal share."""
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame(
+        [(u,) for u in synthetic.seed_urls(4000)], ["canon_url"]
+    ).select(
+        "canon_url",
+        F.xxhash64("canon_url").alias("url_hash"),
+        F.regexp_extract("canon_url", r"^https?://([^/]+)", 1).alias("host"),
+    )
+    n_parts = 32
+
+    def max_share(df):
+        sizes = (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return sizes / 4000
+
+    unsalted = urls.repartition(n_parts, F.col("host"))
+    salted = urls.repartition(
+        n_parts, F.xxhash64("host", F.pmod("url_hash", F.lit(32)))
+    )
+    assert max_share(unsalted) >= 0.70, "control: hot host dominates one partition"
+    assert max_share(salted) <= 0.12, "salted: max partition near ideal 1/32 share"
+
+
 def test_bloom_no_false_drops(spark):
     """Bloom-positive candidates must be rescued by the exact join: the
     composite anti-join equals a plain exact anti-join."""
