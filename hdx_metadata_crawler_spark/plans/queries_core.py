@@ -406,6 +406,52 @@ def review_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hevl_combo_distribution",
+    """
+    WITH ev AS (SELECT * FROM events WHERE event_id < 600),
+         h AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'),
+         e AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+         v AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'),
+         l AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'error'),
+         ids AS (SELECT DISTINCT user_id FROM ev)
+    SELECT concat(CASE WHEN h.user_id IS NOT NULL THEN 'H' ELSE '-' END,
+                  CASE WHEN e.user_id IS NOT NULL THEN 'E' ELSE '-' END,
+                  CASE WHEN v.user_id IS NOT NULL THEN 'V' ELSE '-' END,
+                  CASE WHEN l.user_id IS NOT NULL THEN 'L' ELSE '-' END) AS combo,
+           count(*) AS n_users
+    FROM ids
+    LEFT JOIN h ON ids.user_id = h.user_id
+    LEFT JOIN e ON ids.user_id = e.user_id
+    LEFT JOIN v ON ids.user_id = v.user_id
+    LEFT JOIN l ON ids.user_id = l.user_id
+    GROUP BY combo
+    """,
+    doc="HEVL combo-string distribution (SURVEY A5, 08…ipynb:948 hevl_combo "
+        "'H'+'E'+'V'+'L' value_counts): flag letters concatenated per id, "
+        "then grouped — the 15-combination report NB12 verifies "
+        "(12…ipynb:742 _test_cases). Computed without the 4 joins: one "
+        "groupBy(user_id) with conditional max per flag, then the combo "
+        "concat — 1 shuffle instead of 5.",
+)
+def hevl_combo_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    flag = lambda et, letter: F.when(  # noqa: E731
+        F.max((F.col("event_type") == et).cast("int")) == 1, letter
+    ).otherwise("-")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat(
+                flag("click", "H"), flag("view", "E"),
+                flag("purchase", "V"), flag("error", "L"),
+            ).alias("combo")
+        )
+        .groupBy("combo")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
     "review_pack_topup",
     """
     SELECT c_custkey, round(c_acctbal, 2) AS acctbal, tier
