@@ -127,12 +127,14 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
            count(*)                                    AS cnt,
-           round(avg(value), 4)                        AS avg_value
+           round(sum(value), 2)                        AS sum_value
     FROM events
     GROUP BY 1
     """,
     doc="JSON field extraction + aggregate (SURVEY §2.8 json family; reference "
-        "parses raw JSON per record, 02…ipynb safe_load_json).",
+        "parses raw JSON per record, 02…ipynb safe_load_json). Emits sum+count "
+        "rather than a 4-dp avg: with few rows per group the two engines' "
+        "summation orders differ by 1 ulp, which a tight rounding can flip.",
 )
 def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -141,7 +143,7 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
         )
         .groupBy("k")
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
 
 

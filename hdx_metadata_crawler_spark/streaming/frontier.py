@@ -354,7 +354,7 @@ class CrawlEngine:
     def seed_state(self, seed_urls: list[str]) -> dict[str, DataFrame]:
         spark = self.spark
         seeds = spark.createDataFrame(
-            [(u.strip(),) for u in seed_urls], ["canon_url"]
+            [(u.strip(),) for u in seed_urls], "canon_url string"
         ).select(
             "canon_url",
             F.xxhash64("canon_url").alias("url_hash"),

@@ -178,6 +178,15 @@ def test_resume_ignores_uncommitted_debris(spark, spark_result, tmp_path):
     )
 
 
+def test_empty_seed_list(spark, tmp_path):
+    """Zero seeds is a valid degenerate crawl: no rounds, empty state."""
+    engine = CrawlEngine(spark, str(tmp_path / "ckpt_empty"), CFG)
+    out = engine.run(seed_urls=[])
+    assert out["final_round"] is None
+    assert out["state"]["documents"].count() == 0
+    assert out["state"]["seen"].count() == 0
+
+
 def test_salted_partitioning_breaks_hot_host_skew(spark):
     """~70% of seed URLs live on one host.  Partitioning by host alone puts
     all of them in ONE partition; salting the key with pmod(url_hash, S)
