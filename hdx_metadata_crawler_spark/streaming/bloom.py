@@ -87,6 +87,62 @@ def build_blooms(
     )
 
 
+def merge_blooms(
+    old: DataFrame,
+    additions: DataFrame,
+    hash_col: str = "url_hash",
+    n_partitions: int = 16,
+) -> DataFrame:
+    """blooms ∪ bloom(additions) — per-partition bitwise OR.
+
+    Bloom filters are monotone: the union of two filters over key sets A and
+    B is the elementwise OR of their bitsets.  Maintaining the seen-set
+    filter incrementally (OR in each round's newly-finalized URLs) makes the
+    per-round filter cost O(round additions) instead of O(total seen) —
+    at a 10^10-URL seen set, rebuilding from scratch each round would be the
+    dominant cost of the whole crawl loop."""
+    fresh = build_blooms(additions, hash_col=hash_col, n_partitions=n_partitions)
+    o = old.select(
+        F.col("partition_id"), F.col("m").alias("m_old"), F.col("bitset").alias("b_old")
+    )
+    n = fresh.select(
+        F.col("partition_id"), F.col("m").alias("m_new"), F.col("bitset").alias("b_new")
+    )
+
+    schema = StructType(
+        [
+            StructField("partition_id", IntegerType()),
+            StructField("m", LongType()),
+            StructField("bitset", BinaryType()),
+        ]
+    )
+
+    def or_one(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return right.rename(columns={"m_new": "m", "b_new": "bitset"})[
+                ["partition_id", "m", "bitset"]
+            ]
+        if right.empty:
+            return left.rename(columns={"m_old": "m", "b_old": "bitset"})[
+                ["partition_id", "m", "bitset"]
+            ]
+        lo, ro = left.iloc[0], right.iloc[0]
+        assert lo["m_old"] == ro["m_new"], "bloom sizes must match to merge"
+        merged = (
+            np.frombuffer(lo["b_old"], dtype=np.uint8)
+            | np.frombuffer(ro["b_new"], dtype=np.uint8)
+        ).tobytes()
+        return pd.DataFrame(
+            {"partition_id": [key[0]], "m": [lo["m_old"]], "bitset": [merged]}
+        )
+
+    return (
+        o.groupBy("partition_id")
+        .cogroup(n.groupBy("partition_id"))
+        .applyInPandas(or_one, schema)
+    )
+
+
 def bloom_anti_join(
     candidates: DataFrame,
     seen: DataFrame,

@@ -100,8 +100,12 @@ _FETCH_SCHEMA = StructType(
 _STATE_TABLES = ("frontier", "seen", "manifest", "errors", "documents")
 # Mutable tables are snapshotted in full every round (they change in place
 # and stay O(frontier)); append-only tables write ONLY the round's delta —
-# checkpoint cost is O(round output), not O(total crawl history).
-_MUTABLE_TABLES = ("frontier", "seen")
+# checkpoint cost is O(round output), not O(total crawl history).  blooms is
+# the incrementally-maintained seen-set filter (bloom.merge_blooms): O(16
+# bitsets) to snapshot, O(round additions) to update — never rebuilt from
+# the full seen set.
+_MUTABLE_TABLES = ("frontier", "seen", "blooms")
+_MUTABLE_SCHEMAS = {"blooms": "partition_id int, m long, bitset binary"}
 _APPEND_TABLES = ("manifest", "errors", "documents")
 
 _APPEND_SCHEMAS = {
@@ -333,10 +337,14 @@ class CrawlEngine:
 
     def _read_state(self, rnd: int) -> dict[str, DataFrame]:
         rdir = self._round_dir(rnd)
-        state: dict[str, DataFrame] = {
-            name: self.spark.read.parquet(os.path.join(rdir, name))
-            for name in _MUTABLE_TABLES
-        }
+        state: dict[str, DataFrame] = {}
+        for name in _MUTABLE_TABLES:
+            reader = self.spark.read
+            if name in _MUTABLE_SCHEMAS:
+                # explicit schema: an all-retries round can leave this table
+                # empty (no part files), breaking inference
+                reader = reader.schema(_MUTABLE_SCHEMAS[name])
+            state[name] = reader.parquet(os.path.join(rdir, name))
         delta_dirs = {
             name: [
                 os.path.join(self._round_dir(r), f"{name}_delta")
@@ -366,6 +374,7 @@ class CrawlEngine:
         empty = {
             "frontier": seeds,
             "seen": spark.createDataFrame([], "url_hash long, canon_url string"),
+            "blooms": spark.createDataFrame([], _MUTABLE_SCHEMAS["blooms"]),
             "manifest": spark.createDataFrame(
                 [],
                 "round int, rank int, canon_url string, dataset_id string, "
@@ -419,8 +428,10 @@ class CrawlEngine:
             t0 = time.time()
             frontier, seen = state["frontier"], state["seen"]
 
-            # 1. candidates = frontier ∖ seen (bloom probe + exact rescue)
-            blooms = bloom.build_blooms(seen, n_partitions=cfg.bloom_partitions)
+            # 1. candidates = frontier ∖ seen — probe the incrementally-
+            # maintained bloom state (never rebuilt from the full seen set)
+            # + exact rescue for bloom-positives
+            blooms = state["blooms"]
             candidates = bloom.bloom_anti_join(
                 frontier, seen, blooms, n_partitions=cfg.bloom_partitions
             )
@@ -551,15 +562,24 @@ class CrawlEngine:
             )
 
             # 5c. seen′ = seen ∪ finalized (ok + permanent/exhausted errors
-            # + robots-disallowed, so blocked URLs can never requeue)
-            seen_next = seen.unionByName(
+            # + robots-disallowed, so blocked URLs can never requeue);
+            # blooms′ = blooms OR bloom(finalized) — incremental, O(round)
+            finalized = (
                 ok.select("url_hash", "canon_url")
                 .unionByName(err_now.select("url_hash", "canon_url"))
                 .unionByName(err_exhausted.select("url_hash", "canon_url"))
                 .unionByName(blocked.select("url_hash", "canon_url"))
             )
+            seen_next = seen.unionByName(finalized)
+            blooms_next = bloom.merge_blooms(
+                blooms, finalized, n_partitions=cfg.bloom_partitions
+            )
 
-            new_mutable = {"frontier": frontier_next, "seen": seen_next}
+            new_mutable = {
+                "frontier": frontier_next,
+                "seen": seen_next,
+                "blooms": blooms_next,
+            }
             deltas = {
                 "manifest": manifest_new,
                 "errors": errors_new,

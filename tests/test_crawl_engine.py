@@ -238,3 +238,34 @@ def test_bloom_no_false_drops(spark):
         for r in urls.join(seen.select("url_hash"), "url_hash", "left_anti").collect()
     }
     assert got == expected
+
+
+def test_incremental_bloom_equals_rebuild(spark):
+    """merge_blooms(bloom(A), B) must behave identically to bloom(A ∪ B):
+    same anti-join output (bitsets are OR-monotone)."""
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame(
+        [(u,) for u in synthetic.seed_urls(1500)], ["canon_url"]
+    ).select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
+    part_a = urls.filter(F.col("url_hash") % 4 == 0)
+    part_b = urls.filter(F.col("url_hash") % 4 == 1)
+    seen = part_a.unionByName(part_b)
+
+    rebuilt = bloom.build_blooms(seen, n_partitions=8)
+    merged = bloom.merge_blooms(
+        bloom.build_blooms(part_a, n_partitions=8), part_b, n_partitions=8
+    )
+    got = {
+        r["canon_url"]
+        for r in bloom.bloom_anti_join(urls, seen, merged, n_partitions=8).collect()
+    }
+    expected = {
+        r["canon_url"]
+        for r in bloom.bloom_anti_join(urls, seen, rebuilt, n_partitions=8).collect()
+    }
+    exact = {
+        r["canon_url"]
+        for r in urls.join(seen.select("url_hash"), "url_hash", "left_anti").collect()
+    }
+    assert got == expected == exact
