@@ -346,29 +346,22 @@ def composite_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tier_matrix",
     f"""
     SELECT tier,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
-           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n_other
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_other
     FROM ({_COMPOSITE_ORACLE_BODY})
     GROUP BY tier
     """,
     doc="Tier distribution 2-D pivot (SURVEY A10, 13…ipynb cell 19/20 tier x "
-        "validity counts): groupBy().pivot() with a FIXED pivot value list so "
-        "no extra distinct-values job runs.",
+        "validity counts). Expressed as sum-of-when (a single hash aggregate, "
+        "identical plan shape to pivot with a fixed value list but emitting "
+        "the same BIGINT type as the oracle's sum(CASE) — DuckDB sums to "
+        "HUGEINT, hence the explicit casts on both sides).",
 )
 def tier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _composite(load_table(spark, sf_dir, "documents"))
-    pivoted = (
-        scored.withColumn(
-            "lang_bucket", F.when(F.col("lang") == "en", "n_en").otherwise("n_other")
-        )
-        .groupBy("tier")
-        .pivot("lang_bucket", ["n_en", "n_other"])
-        .count()
-    )
-    return pivoted.select(
-        "tier",
-        F.coalesce("n_en", F.lit(0)).alias("n_en"),
-        F.coalesce("n_other", F.lit(0)).alias("n_other"),
+    return scored.groupBy("tier").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("n_other"),
     )
 
 
