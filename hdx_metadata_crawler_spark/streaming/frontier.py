@@ -105,7 +105,7 @@ _STATE_TABLES = ("frontier", "seen", "manifest", "errors", "documents")
 # bitsets) to snapshot, O(round additions) to update — never rebuilt from
 # the full seen set.
 _MUTABLE_TABLES = ("frontier", "seen", "blooms")
-_MUTABLE_SCHEMAS = {"blooms": "partition_id int, m long, bitset binary"}
+_MUTABLE_SCHEMAS = {"blooms": bloom.BLOOM_DDL}
 _APPEND_TABLES = ("manifest", "errors", "documents")
 
 _APPEND_SCHEMAS = {
@@ -572,7 +572,8 @@ class CrawlEngine:
             )
             seen_next = seen.unionByName(finalized)
             blooms_next = bloom.merge_blooms(
-                blooms, finalized, n_partitions=cfg.bloom_partitions
+                blooms, finalized, n_partitions=cfg.bloom_partitions,
+                seen=seen_next,
             )
 
             new_mutable = {
