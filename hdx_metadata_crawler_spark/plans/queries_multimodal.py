@@ -24,16 +24,20 @@ from .registry import register
            CAST((SELECT sum(ascii(substr(text, CAST(i AS INT), 1)))
                  FROM unnest(range(1, len(text) + 1)) AS t(i)) % 1000
                 AS BIGINT)            AS byte_sum_mod,
-           CAST(floor((SELECT avg(ascii(substr(text, CAST(i AS INT), 1)))
-                       FROM unnest(range(1, least(len(text), 48) + 1)) AS t(i)))
-                AS INT)               AS mean_pixel
+           CASE WHEN len(text) = 0 THEN 0
+                ELSE CAST(floor((SELECT avg(ascii(substr(text,
+                            CAST(i % len(text) + 1 AS INT), 1)))
+                     FROM unnest(range(0, 48)) AS t(i))) AS INT)
+           END                        AS mean_pixel
     FROM documents
     """,
     doc="Binary-payload feature extraction via Arrow-batched mapInPandas "
         "(engine-new multimodal surface): size, head byte, checksum, and the "
         "stub-decoded mean pixel (decode_image stub — the real codec is "
         "NotImplementedError-gated; see operators/multimodal.py). Oracle "
-        "recomputes every feature byte-for-byte from the source text.",
+        "recomputes every feature byte-for-byte from the source text, "
+        "including the stub's cyclic 48-byte tiling (np.resize semantics) so "
+        "the two sides agree at EVERY text length, not just len >= 48.",
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -48,14 +48,24 @@ def append_jsonl(df: DataFrame, path: str) -> None:
 
 
 def atomic_write_json(df: DataFrame, path: str) -> None:
-    """Atomic directory write (S5): materialize to a tmp sibling, then one
-    os.replace — readers never observe a partial output.  This is the same
-    commit protocol as the frontier checkpoint (_COMMIT marker variant)."""
+    """Atomic directory write (S5): materialize to a tmp sibling, then swap
+    via rename.  The previous rmtree(path)-then-replace left a window where a
+    crash lost the committed output and readers saw the path missing; the
+    swap sequence (path -> path.old, tmp -> path, delete path.old) never
+    destroys committed data before the new data is in place — a crash leaves
+    either the old output at path, or the old output recoverable at
+    path.old.  (The frontier checkpoint uses the stronger _COMMIT-marker
+    variant of this protocol, frontier._write_state.)"""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    old = f"{path}.old"
     df.write.mode("overwrite").json(tmp)
+    if os.path.exists(old):  # debris from a crash between the two renames
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.replace(path, old)
     os.replace(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def write_tiered(df: DataFrame, path: str, tier_col: str, order_col: str) -> None:

@@ -166,22 +166,46 @@ def cuckoo_remove(
     removals: DataFrame,
     hash_col: str = "url_hash",
     n_partitions: int = 16,
+    strict: bool = True,
 ) -> DataFrame:
     """Delete keys from the filter: co-group removals with their partition's
     table, drop one fingerprint copy per key, emit the updated table.  This
-    is the operation Bloom fundamentally cannot do."""
+    is the operation Bloom fundamentally cannot do.
+
+    PRECONDITION (standard cuckoo-filter semantics, Fan et al. §3.3): callers
+    may only remove keys that were previously inserted.  Deleting a
+    never-inserted key whose fingerprint happens to collide would evict
+    another key's fingerprint, creating a false NEGATIVE — which breaks the
+    'filter negative is definitely-unseen' contract and would silently
+    re-crawl seen URLs.  With ``strict=True`` (default) a removal that finds
+    no matching fingerprint raises instead of being silently ignored; verify
+    membership against the exact seen table first if the removal set may
+    contain non-members."""
     keyed = removals.withColumn(
         "partition_id", F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int")
     ).select("partition_id", hash_col)
 
     def update_one(key, tables: pd.DataFrame, rems: pd.DataFrame) -> pd.DataFrame:
         if tables.empty:
+            if strict and not rems.empty:
+                raise RuntimeError(
+                    f"cuckoo_remove: partition {key[0]} has {len(rems)} removals "
+                    "but no filter table — removals must target inserted keys"
+                )
             return tables
         row = tables.iloc[0]
         t = CuckooTable(int(row["m"]), np.frombuffer(row["table"], dtype=np.uint16)
                         .reshape(int(row["m"]), SLOTS).copy())
+        failed = 0
         for h in rems[hash_col].to_numpy(dtype=np.int64).view(np.uint64):
-            t.remove(h)
+            if not t.remove(h):
+                failed += 1
+        if failed and strict:
+            raise RuntimeError(
+                f"cuckoo_remove: {failed} removal(s) in partition {key[0]} found "
+                "no fingerprint — removing never-inserted keys corrupts the "
+                "filter (see docstring precondition)"
+            )
         return pd.DataFrame(
             {"partition_id": [key[0]], "m": [t.m], "table": [t.to_bytes()]}
         )

@@ -65,7 +65,9 @@ def test_cuckoo_remove_requeues_urls(spark):
     seen = urls.filter(F.col("url_hash") % 2 == 0)
     filters = cuckoo.build_cuckoos(seen, n_partitions=8)
 
-    expired = seen.limit(50)
+    # Pin the expired set deterministically: LIMIT without ORDER BY may pick
+    # different rows on each of the several jobs that re-evaluate this frame.
+    expired = seen.orderBy("url_hash").limit(50)
     seen_after = seen.join(expired.select("url_hash"), "url_hash", "left_anti")
     filters_after = cuckoo.cuckoo_remove(filters, expired, n_partitions=8)
 
