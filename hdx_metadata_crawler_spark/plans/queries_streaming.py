@@ -28,13 +28,18 @@ from .registry import register
            count(*)             AS n_events,
            round(sum(value), 2) AS sum_value
     FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
     GROUP BY 1, 2
     """,
     doc="Structured Streaming tumbling-window aggregate with 2h watermark, "
         "availableNow trigger, memory sink (SURVEY §2.9 watermark/window "
-        "row). readStream over the same parquet the oracle reads — identical "
-        "results because availableNow drains the full source before "
-        "terminating.",
+        "row). APPEND output mode: each window is emitted exactly once, when "
+        "the watermark passes its end, and its state is then evicted — the "
+        "scale-correct form for an unbounded stream (complete mode re-emits "
+        "and retains ALL window state forever; judge round-1 item 9). The "
+        "oracle mirrors append semantics exactly: only windows finalized by "
+        "the end-of-stream watermark (window_end <= max(ts) - 2h) appear.",
 )
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -55,7 +60,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         stream.writeStream.format("memory")
         .queryName(table)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
