@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.schema_validate import jsonschema_validate
 from ..functions.text import normalize_title
 from ..sources.tables import load_table
 from .registry import register
@@ -170,4 +171,72 @@ def validate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_chars") > 0)
         ).alias("is_valid"),
         F.concat_ws(";", errors).alias("errors"),
+    )
+
+
+# Draft2020-12 jsonschema validation (SURVEY §2.10 #5; 06…ipynb:1701,
+# 13…ipynb:523+1129).  Records are RDLS-style hazard assemblies with two
+# deterministic fault classes injected so both the valid and the invalid
+# paths are exercised: event_id%10==3 drops the required risk_data_type
+# (to_json omits null fields), event_id%10==7 writes a value outside the
+# codelist.  The oracle knows the construction rule, so the expected verdict
+# and the categorized summary (same buckets/format as the reference's
+# _summarize_errors) are ground truth, not a reimplementation of jsonschema.
+
+_ENUM_MSG_50 = "'hazardous' is not one of ['hazard', 'exposure', '"
+_ENUM_MSG_SQL = _ENUM_MSG_50.replace("'", "''")
+
+
+@register(
+    "jsonschema_validation",
+    f"""
+    SELECT event_id,
+           (event_id % 10 NOT IN (3, 7))                        AS is_valid,
+           CASE WHEN event_id % 10 IN (3, 7) THEN 1 ELSE 0 END  AS n_errors,
+           CASE WHEN event_id % 10 = 3 THEN 'missing:risk_data_type'
+                WHEN event_id % 10 = 7 THEN 'enum:{_ENUM_MSG_SQL}'
+                ELSE '' END                                     AS error_summary
+    FROM events
+    WHERE event_id < 1000
+    """,
+    doc="Draft2020-12 JSON-Schema validation via iterator pandas UDF "
+        "(SURVEY §2.10 #5; validator compiled once per task): required "
+        "fields, codelist enums, nested constraints; error summaries follow "
+        "13…ipynb:1129 _summarize_errors bucket format. Engine runs the real "
+        "jsonschema library; the oracle derives expected verdicts from the "
+        "deterministic fault-injection rule.",
+)
+def jsonschema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    eid = F.col("event_id").cast("string")
+    rp = (F.col("event_id") % 97 + 1).cast("int")
+    risk = (
+        F.when(F.col("event_id") % 10 == 3, F.lit(None).cast("array<string>"))
+        .when(F.col("event_id") % 10 == 7, F.array(F.lit("hazardous")))
+        .otherwise(F.array(F.lit("hazard")))
+    )
+    record = F.struct(
+        F.concat(F.lit("rdls_hzd-"), eid).alias("id"),
+        risk.alias("risk_data_type"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("event_set_"), eid).alias("id"),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("event_"), eid).alias("id"),
+                        rp.alias("return_period"),
+                        F.round(F.lit(1000000.0) / rp).cast("long").alias("rate_ppm"),
+                    )
+                ).alias("events"),
+            )
+        ).alias("event_sets"),
+    )
+    validated = ev.select(
+        "event_id", jsonschema_validate(F.to_json(record)).alias("v")
+    )
+    return validated.select(
+        "event_id",
+        F.col("v.is_valid").alias("is_valid"),
+        F.col("v.n_errors").alias("n_errors"),
+        F.col("v.error_summary").alias("error_summary"),
     )
