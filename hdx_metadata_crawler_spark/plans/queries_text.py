@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scoring import component_score, confidence_bucket
+from ..functions.scoring import component_score, confidence_bucket, keyword_hit_count
 from ..functions.text import normalize_title, slugify, tokenize
 from ..sources.tables import load_table
 from .registry import register
@@ -78,6 +78,185 @@ def classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_max,
         (F.greatest(*[F.col(n) for n in scores]) >= 5).alias("is_candidate"),
         confidence_bucket(F.greatest(*[F.col(n) for n in scores])).alias("confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 FULL — the complete classify_dataset scoring cascade (04…ipynb:549-668):
+#   score[comp] = Σ tag weights            (step 1, tag_to_rdls_component.yaml)
+#               + 2 × # keyword-pattern hits (step 2, KEYWORD_HIT_WEIGHT=2)
+#               + Σ org hints              (step 3, org_hints.yaml substring)
+#               − 3 × exclusion hits, floor 0 (step 4)
+#   components: all >= 5, else fallback [best] if any signal (:626);
+#   candidate >= 5; confidence >= 7 high / >= 4 medium (:288-289).
+# The 'tags' of a synthetic document are its distinct tokens (the reference
+# matches lowercased tag names against the weight dict — same shape); the
+# 'organization' is the source column, matched by substring like org_hints.
+# ---------------------------------------------------------------------------
+
+_COMPONENTS = ("query", "storage", "stream")
+
+# (component, tag, weight) — mirrors tag_to_rdls_component.yaml (weights 2-5;
+# a tag may carry weight under more than one component, as in the reference).
+TAG_WEIGHTS: list[tuple[str, str, int]] = [
+    ("query", "join", 5), ("query", "filter", 4), ("query", "sort", 3),
+    ("query", "group", 3), ("query", "window", 2),
+    ("storage", "table", 5), ("storage", "scan", 4), ("storage", "column", 3),
+    ("storage", "row", 3), ("storage", "part", 2),
+    ("stream", "stream", 5), ("stream", "batch", 4), ("stream", "window", 3),
+    ("stream", "merge", 2),
+]
+
+# (org_substr, component, weight) — mirrors org_hints.yaml ('hint in org').
+ORG_HINTS: list[tuple[str, str, int]] = [
+    ("src1", "stream", 3),   # substring: matches src1 and src10..src19
+    ("rc2", "storage", 2),
+    ("src19", "query", 4),
+]
+
+
+def _full_oracle() -> str:
+    tw_vals = ", ".join(f"('{c}', '{t}', {w})" for c, t, w in TAG_WEIGHTS)
+    oh_vals = ", ".join(f"('{s}', '{c}', {w})" for s, c, w in ORG_HINTS)
+    excl = _oracle_hits(EXCLUSION_PATTERNS)
+    score_exprs = ",\n         ".join(
+        f"greatest(0, coalesce(t.tag_{c}, 0)"
+        f" + 2 * ({_oracle_hits(COMPONENT_PATTERNS[c])})"
+        f" + coalesce(o.org_{c}, 0) - 3 * ({excl})) AS score_{c}"
+        for c in _COMPONENTS
+    )
+    tag_aggs = ", ".join(
+        f"sum(CASE WHEN component = '{c}' THEN weight ELSE 0 END) AS tag_{c}"
+        for c in _COMPONENTS
+    )
+    org_aggs = ", ".join(
+        f"sum(CASE WHEN h.component = '{c}' THEN h.weight ELSE 0 END) AS org_{c}"
+        for c in _COMPONENTS
+    )
+    comp_cases = ", ".join(
+        f"CASE WHEN score_{c} >= 5 THEN '{c}' END" for c in _COMPONENTS
+    )
+    return f"""
+    WITH tag_weights(component, tag, weight) AS (VALUES {tw_vals}),
+    org_hints(org_substr, component, weight) AS (VALUES {oh_vals}),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS tag
+      FROM documents),
+    tag_scores AS (
+      SELECT doc_id, {tag_aggs}
+      FROM toks JOIN tag_weights USING (tag) GROUP BY doc_id),
+    org_scores AS (
+      SELECT d.doc_id, {org_aggs}
+      FROM documents d JOIN org_hints h ON contains(d.source, h.org_substr)
+      GROUP BY d.doc_id),
+    scored AS (
+      SELECT d.doc_id,
+         {score_exprs}
+      FROM documents d
+      LEFT JOIN tag_scores t USING (doc_id)
+      LEFT JOIN org_scores o USING (doc_id)),
+    final AS (
+      SELECT *,
+             greatest(score_query, score_storage, score_stream) AS score_max,
+             coalesce(concat_ws(',', {comp_cases}), '') AS comp0
+      FROM scored)
+    SELECT doc_id, score_query, score_storage, score_stream, score_max,
+           CASE WHEN comp0 = '' AND score_max > 0 THEN
+                  (CASE WHEN score_query = score_max THEN 'query'
+                        WHEN score_storage = score_max THEN 'storage'
+                        ELSE 'stream' END)
+                ELSE comp0 END AS components,
+           (score_max >= 5) AS is_candidate,
+           CASE WHEN score_max >= 7 THEN 'high'
+                WHEN score_max >= 4 THEN 'medium'
+                ELSE 'low' END AS confidence
+    FROM final
+    """
+
+
+@register(
+    "classify_documents_full",
+    _full_oracle(),
+    doc="FULL A2 scoring cascade (04…ipynb:549-668 classify_dataset, all four "
+        "steps): tag weights via explode + broadcast hash join to the "
+        "tag_to_rdls_component-shaped dim + conditional-sum agg; keyword "
+        "hits as generated rlike columns; org hints via broadcast substring "
+        "join (tiny dim -> BroadcastNestedLoopJoin, bounded at "
+        "|hints| x |docs| predicate evals, no shuffle of the fact side); "
+        "exclusions -3 floored at 0 (P11); components >= 5 with "
+        "single-best fallback (:626); thresholds 5/7/4. Two shuffles total "
+        "(the two doc_id aggregations), both map-side-combinable.",
+)
+def classify_documents_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    tags = d.select("doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tag"))
+    tw = spark.createDataFrame(TAG_WEIGHTS, ["component", "tag", "weight"])
+    tag_scores = (
+        tags.join(F.broadcast(tw), "tag")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("component") == c, F.col("weight")).otherwise(0))
+                .alias(f"tag_{c}")
+                for c in _COMPONENTS
+            ]
+        )
+    )
+
+    oh = spark.createDataFrame(ORG_HINTS, ["org_substr", "component", "weight"])
+    org_scores = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(oh), F.col("source").contains(F.col("org_substr")))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("component") == c, F.col("weight")).otherwise(0))
+                .alias(f"org_{c}")
+                for c in _COMPONENTS
+            ]
+        )
+    )
+
+    base = d.join(tag_scores, "doc_id", "left").join(org_scores, "doc_id", "left")
+    text = F.col("text")
+    excl = keyword_hit_count(text, EXCLUSION_PATTERNS)
+    scores = {
+        c: F.greatest(
+            F.lit(0),
+            F.coalesce(F.col(f"tag_{c}"), F.lit(0))
+            + F.lit(2) * keyword_hit_count(text, COMPONENT_PATTERNS[c])
+            + F.coalesce(F.col(f"org_{c}"), F.lit(0))
+            - F.lit(3) * excl,
+        )
+        for c in _COMPONENTS
+    }
+    scored = base.select(
+        "doc_id", *[scores[c].alias(f"score_{c}") for c in _COMPONENTS]
+    )
+    score_max = F.greatest(*[F.col(f"score_{c}") for c in _COMPONENTS])
+    comp0 = F.concat_ws(
+        ",",
+        *[F.when(F.col(f"score_{c}") >= 5, F.lit(c)) for c in _COMPONENTS],
+    )
+    fallback = (
+        F.when(F.col("score_query") == F.col("score_max"), "query")
+        .when(F.col("score_storage") == F.col("score_max"), "storage")
+        .otherwise("stream")
+    )
+    return (
+        scored.withColumn("score_max", score_max)
+        .withColumn("comp0", comp0)
+        .select(
+            "doc_id", "score_query", "score_storage", "score_stream", "score_max",
+            F.when((F.col("comp0") == "") & (F.col("score_max") > 0), fallback)
+            .otherwise(F.col("comp0"))
+            .alias("components"),
+            (F.col("score_max") >= 5).alias("is_candidate"),
+            confidence_bucket(F.col("score_max")).alias("confidence"),
+        )
     )
 
 
