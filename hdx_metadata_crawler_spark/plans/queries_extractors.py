@@ -280,6 +280,174 @@ def rdls_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v5 — NB10 tier-cascade merge (_merge_tiers, 10…ipynb:679; SURVEY §7.4 risk
+# 5).  Three scan tiers with fixed confidences (T1 title/name/tags = 1.0,
+# T2 resources = 0.85, T3 notes/methodology = 0.6, 10…ipynb:523-526) merge
+# per category under these rules:
+#   1. Tier 1 always included.
+#   2. Tier 2 adds new categories OR corroborates (+0.05, cap 1.0).
+#   3. Tier 3 ONLY corroborates (+0.05, cap 1.0) — it may introduce
+#      categories only when tiers 1+2 found NOTHING AT ALL for the document
+#      (the 'if final:' check is per-document, not per-category).
+# The synthetic document's three tier fields are byte ranges of its text
+# (title = [1,80], resources = [81,160], notes = the rest).
+# ---------------------------------------------------------------------------
+
+TIER1_CONFIDENCE = 1.0
+TIER2_CONFIDENCE = 0.85
+TIER3_CONFIDENCE = 0.6
+CORROBORATION_BOOST = 0.05
+
+TIER_CATEGORIES: list[tuple[str, str]] = [
+    ("infrastructure", "table"),
+    ("population", "stream"),
+    ("roads", "join"),
+    ("agriculture", "vector"),
+    ("energy", "window"),
+]
+
+
+def _tier_merge_oracle() -> str:
+    hits = ",\n             ".join(
+        f"regexp_matches(substr(text, 1, 80), '{p}') AS t1_{c}, "
+        f"regexp_matches(substr(text, 81, 80), '{p}') AS t2_{c}, "
+        f"regexp_matches(substr(text, 161, 100000), '{p}') AS t3_{c}"
+        for c, p in TIER_CATEGORIES
+    )
+    any12 = " OR ".join(f"t1_{c} OR t2_{c}" for c, _ in TIER_CATEGORIES)
+    branches = ", ".join(
+        f"""CASE
+          WHEN t1_{c} THEN struct_pack(
+            category := '{c}',
+            confidence := round(least(1.0, {TIER1_CONFIDENCE}
+              + (CASE WHEN t2_{c} THEN {CORROBORATION_BOOST} ELSE 0 END)
+              + (CASE WHEN t3_{c} THEN {CORROBORATION_BOOST} ELSE 0 END)), 2),
+            tier_source := 'tier1',
+            corroborated := (t2_{c} OR t3_{c}))
+          WHEN t2_{c} THEN struct_pack(
+            category := '{c}',
+            confidence := round(least(1.0, {TIER2_CONFIDENCE}
+              + (CASE WHEN t3_{c} THEN {CORROBORATION_BOOST} ELSE 0 END)), 2),
+            tier_source := 'tier2',
+            corroborated := t3_{c})
+          WHEN t3_{c} AND NOT any12 THEN struct_pack(
+            category := '{c}',
+            confidence := {TIER3_CONFIDENCE},
+            tier_source := 'tier3',
+            corroborated := false)
+        END"""
+        for c, _ in TIER_CATEGORIES
+    )
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, {hits}
+      FROM documents
+    ),
+    flagged AS (SELECT *, ({any12}) AS any12 FROM hits),
+    merged AS (
+      SELECT doc_id,
+             unnest(list_filter([{branches}], x -> x IS NOT NULL)) AS m
+      FROM flagged
+    )
+    SELECT doc_id, m.category AS category,
+           CAST(m.confidence AS DOUBLE) AS confidence,
+           m.tier_source AS tier_source, m.corroborated AS corroborated
+    FROM merged
+    """
+
+
+@register(
+    "tier_merge",
+    _tier_merge_oracle(),
+    doc="NB10 tier-cascade merge as pure column algebra (10…ipynb:679 "
+        "_merge_tiers; SURVEY §7.4 risk 5): T1 always in; T2 adds-or-boosts "
+        "(+0.05 cap 1.0); T3 boosts only — unless tiers 1+2 found nothing "
+        "document-wide, in which case T3 may introduce (the fallback arm). "
+        "One select + explode of per-category structs, no shuffle; per-branch "
+        "unit fixtures in tests/test_tier_merge.py.",
+)
+def tier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tier_merge_frame(d)
+
+
+def tier_merge_frame(d: DataFrame) -> DataFrame:
+    """The merge applied to any frame with (doc_id, text) — shared by the
+    registered query and the branch-coverage unit fixtures."""
+    t1f = F.substring("text", 1, 80)
+    t2f = F.substring("text", 81, 80)
+    t3f = F.substring("text", 161, 100000)
+    hit = {
+        c: (t1f.rlike(p), t2f.rlike(p), t3f.rlike(p)) for c, p in TIER_CATEGORIES
+    }
+    any12 = None
+    for c, _ in TIER_CATEGORIES:
+        both = hit[c][0] | hit[c][1]
+        any12 = both if any12 is None else (any12 | both)
+
+    def branch(c: str):
+        t1, t2, t3 = hit[c]
+        boost = F.lit(CORROBORATION_BOOST)
+        return (
+            F.when(
+                t1,
+                F.struct(
+                    F.lit(c).alias("category"),
+                    F.round(
+                        F.least(
+                            F.lit(1.0),
+                            F.lit(TIER1_CONFIDENCE)
+                            + F.when(t2, boost).otherwise(0.0)
+                            + F.when(t3, boost).otherwise(0.0),
+                        ),
+                        2,
+                    ).alias("confidence"),
+                    F.lit("tier1").alias("tier_source"),
+                    (t2 | t3).alias("corroborated"),
+                ),
+            )
+            .when(
+                t2,
+                F.struct(
+                    F.lit(c).alias("category"),
+                    F.round(
+                        F.least(
+                            F.lit(1.0),
+                            F.lit(TIER2_CONFIDENCE) + F.when(t3, boost).otherwise(0.0),
+                        ),
+                        2,
+                    ).alias("confidence"),
+                    F.lit("tier2").alias("tier_source"),
+                    t3.alias("corroborated"),
+                ),
+            )
+            .when(
+                t3 & ~any12,
+                F.struct(
+                    F.lit(c).alias("category"),
+                    F.lit(TIER3_CONFIDENCE).alias("confidence"),
+                    F.lit("tier3").alias("tier_source"),
+                    F.lit(False).alias("corroborated"),
+                ),
+            )
+        )
+
+    merged = F.filter(
+        F.array(*[branch(c) for c, _ in TIER_CATEGORIES]), lambda x: x.isNotNull()
+    )
+    return (
+        d.select("doc_id", F.explode(merged).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.category").alias("category"),
+            F.col("m.confidence").alias("confidence"),
+            F.col("m.tier_source").alias("tier_source"),
+            F.col("m.corroborated").alias("corroborated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A9/A10 — composite confidence scoring, tiering, tier pivot
 # (13…ipynb:949 compute_composite_confidence, weights .40/.25/.20/.15,
 #  tier thresholds .8/.5 at :149; cell 19/20 tier x validity counts)
