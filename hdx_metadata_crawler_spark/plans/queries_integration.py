@@ -1,0 +1,270 @@
+"""NB12 HEVL integration semantics (12…ipynb:816 integrate_record) as pure
+column algebra over a flags ⟗ base ⟕ blocks join shape (SURVEY §3.3 entry
+point C, J4/J6):
+
+1. declared risk types from the 4 boolean flags, canonical HEVL order
+   (12…ipynb COMPONENT_ORDER);
+2. standalone guard: V/L require H or E (REQUIRE_HE_FOR_VL, :645) —
+   status 'standalone_vl_invalid(<present>)';
+3. base-record gate — status 'no_nb06_record' when NB06 has no record;
+4. id prefix rewrite by PREFIX_PRIORITY loss > vulnerability > exposure >
+   hazard (:682): regexp_replace('^rdls_\\w+-hdx_', prefix);
+5. RECONCILE declared vs actual blocks — only components whose JSON block
+   actually exists survive; status 'no_actual_hevl_blocks' when none,
+   'reconciled_standalone_vl_invalid(...)' when the reconciled set fails the
+   guard; final id re-derived from the reconciled prefix;
+6. provenance note appended to the description with the terminal-punctuation
+   rule (add '.' unless the description already ends in .!?:;)\").
+
+The synthetic inputs are deterministic functions of doc_id so every branch
+(including all 15 HEVL combinations, verified by the reference's own
+inline unit table 12…ipynb:742 — ported to tests/test_integration.py) occurs
+in the corpus: flags from doc_id mod 2/3/5/7, base-record existence from
+mod 11, per-component block existence from mod 13.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+COMPONENT_ORDER = ["hazard", "exposure", "vulnerability", "loss"]
+PREFIX_PRIORITY = ["loss", "vulnerability", "exposure", "hazard"]
+PREFIX_MAP = {
+    "hazard": "rdls_hzd",
+    "exposure": "rdls_exp",
+    "vulnerability": "rdls_vln",
+    "loss": "rdls_lss",
+}
+REQUIRE_HE_FOR_VL = True
+
+HDX_PROVENANCE_NOTE = (
+    "[Source: This metadata record was automatically extracted from the "
+    "Humanitarian Data Exchange (HDX) at https://data.humdata.org]"
+)
+
+# flag / block derivation rules (documented above; shared with the oracle)
+_FLAG_MOD = {"hazard": 2, "exposure": 3, "vulnerability": 5, "loss": 7}
+_BLOCK_DROP = {"hazard": 1, "exposure": 2, "vulnerability": 3, "loss": 4}
+_TERMINAL = ".!?:;)\""
+
+
+def _types_str(flags: dict[str, Column]) -> Column:
+    """Canonical-order comma-joined risk types from boolean flag columns."""
+    return F.concat_ws(
+        ",", *[F.when(flags[c], F.lit(c)) for c in COMPONENT_ORDER]
+    )
+
+
+def _prefix_of(flags: dict[str, Column]) -> Column:
+    """Highest-priority prefix (loss > vulnerability > exposure > hazard)."""
+    chain = None
+    for comp in PREFIX_PRIORITY:
+        branch = (flags[comp], F.lit(PREFIX_MAP[comp]))
+        chain = F.when(*branch) if chain is None else chain.when(*branch)
+    return chain.otherwise(F.lit("rdls_unk"))
+
+
+def _vl_invalid(flags: dict[str, Column]) -> Column:
+    """REQUIRE_HE_FOR_VL guard: V or L present without H or E."""
+    has_he = flags["hazard"] | flags["exposure"]
+    has_vl = flags["vulnerability"] | flags["loss"]
+    return has_vl & ~has_he
+
+
+def integrate_frame(d: DataFrame) -> DataFrame:
+    """Full integrate_record ladder over a frame with columns (doc_id,
+    has_hazard .. has_loss, has_base, block_hazard .. block_loss, old_id,
+    raw_desc).  Shared by the registered query and the combination tests."""
+    flags = {c: F.col(f"has_{c}") for c in COMPONENT_ORDER}
+    blocks = {c: F.col(f"block_{c}") for c in COMPONENT_ORDER}
+    declared = _types_str(flags)
+    # actual blocks only exist for declared components (reference inserts
+    # blocks per declared flag, then reconciles against what exists)
+    actual_flags = {c: flags[c] & blocks[c] for c in COMPONENT_ORDER}
+    actual = _types_str(actual_flags)
+
+    declared_prefix = _prefix_of(flags)
+    reconciled_prefix = _prefix_of(actual_flags)
+    # two-step rewrite exactly as the reference: declared prefix first
+    # (:860), reconciled prefix after the block reconcile (:898)
+    id_declared = F.regexp_replace(
+        F.col("old_id"), r"^rdls_\w+-hdx_", F.concat(declared_prefix, F.lit("-hdx_"))
+    )
+    id_final = F.regexp_replace(
+        id_declared, r"^rdls_\w+-hdx_", F.concat(reconciled_prefix, F.lit("-hdx_"))
+    )
+
+    status = (
+        F.when(declared == "", F.lit("no_hevl_signals"))
+        .when(
+            _vl_invalid(flags) & F.lit(REQUIRE_HE_FOR_VL),
+            F.concat(
+                F.lit("standalone_vl_invalid("),
+                F.regexp_replace(declared, ",", "+"),
+                F.lit(")"),
+            ),
+        )
+        .when(~F.col("has_base"), F.lit("no_nb06_record"))
+        .when(actual == "", F.lit("no_actual_hevl_blocks"))
+        .when(
+            _vl_invalid(actual_flags) & F.lit(REQUIRE_HE_FOR_VL),
+            F.concat(
+                F.lit("reconciled_standalone_vl_invalid("),
+                F.regexp_replace(actual, ",", "+"),
+                F.lit(")"),
+            ),
+        )
+        .otherwise(F.lit("ok"))
+    )
+
+    trimmed = F.rtrim(F.col("raw_desc"))
+    needs_period = (trimmed != "") & ~F.substring(trimmed, -1, 1).isin(*_TERMINAL)
+    provenance = F.concat(
+        F.lit(HDX_PROVENANCE_NOTE + " [Original dataset: "
+              "https://data.humdata.org/dataset/"),
+        F.col("doc_id").cast("string"),
+        F.lit("]"),
+    )
+    description = F.when(trimmed == "", provenance).otherwise(
+        F.concat(
+            trimmed,
+            F.when(needs_period, F.lit(".")).otherwise(F.lit("")),
+            F.lit(" "),
+            provenance,
+        )
+    )
+
+    ok = status == "ok"
+    return d.select(
+        "doc_id",
+        declared.alias("declared_types"),
+        F.when(ok, actual).alias("actual_types"),
+        status.alias("status"),
+        F.when(ok, id_final).alias("final_id"),
+        F.when(ok, description).alias("description"),
+    )
+
+
+def _inputs_frame(d: DataFrame) -> DataFrame:
+    """documents -> the integration input columns (deterministic rules)."""
+    cols = [F.col("doc_id")]
+    for c in COMPONENT_ORDER:
+        flag = F.col("doc_id") % _FLAG_MOD[c] == 0
+        cols.append(flag.alias(f"has_{c}"))
+        cols.append((F.col("doc_id") % 13 != _BLOCK_DROP[c]).alias(f"block_{c}"))
+    cols.append((F.col("doc_id") % 11 != 0).alias("has_base"))
+    cols.append(
+        F.concat(F.lit("rdls_hzd-hdx_"), F.col("doc_id").cast("string")).alias("old_id")
+    )
+    cols.append(F.substring("text", 1, 40).alias("raw_desc"))
+    return d.select(*cols)
+
+
+def _oracle() -> str:
+    flag = {c: f"(doc_id % {_FLAG_MOD[c]} = 0)" for c in COMPONENT_ORDER}
+    block = {c: f"(doc_id % 13 <> {_BLOCK_DROP[c]})" for c in COMPONENT_ORDER}
+    actual = {c: f"({flag[c]} AND {block[c]})" for c in COMPONENT_ORDER}
+
+    def types_str(f):
+        return (
+            "concat_ws(','," +
+            ", ".join(f"CASE WHEN {f[c]} THEN '{c}' END" for c in COMPONENT_ORDER)
+            + ")"
+        )
+
+    def prefix(f):
+        cases = " ".join(
+            f"WHEN {f[c]} THEN '{PREFIX_MAP[c]}'" for c in PREFIX_PRIORITY
+        )
+        return f"(CASE {cases} ELSE 'rdls_unk' END)"
+
+    def vl_invalid(f):
+        return (
+            f"(({f['vulnerability']} OR {f['loss']}) "
+            f"AND NOT ({f['hazard']} OR {f['exposure']}))"
+        )
+
+    note = (HDX_PROVENANCE_NOTE + " [Original dataset: "
+            "https://data.humdata.org/dataset/").replace("'", "''")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             coalesce({types_str(flag)}, '')   AS declared_types,
+             coalesce({types_str(actual)}, '') AS actual_types,
+             (doc_id % 11 <> 0)                AS has_base,
+             'rdls_hzd-hdx_' || CAST(doc_id AS VARCHAR) AS old_id,
+             rtrim(substr(text, 1, 40))        AS trimmed
+      FROM documents
+    ),
+    labeled AS (
+      SELECT *,
+        CASE
+          WHEN declared_types = '' THEN 'no_hevl_signals'
+          WHEN {vl_invalid(flag)} THEN
+            'standalone_vl_invalid(' || replace(declared_types, ',', '+') || ')'
+          WHEN NOT has_base THEN 'no_nb06_record'
+          WHEN actual_types = '' THEN 'no_actual_hevl_blocks'
+          WHEN {vl_invalid(actual)} THEN
+            'reconciled_standalone_vl_invalid(' || replace(actual_types, ',', '+') || ')'
+          ELSE 'ok'
+        END AS status,
+        regexp_replace('rdls_hzd-hdx_' || CAST(doc_id AS VARCHAR),
+                       '^rdls_\\w+-hdx_', {prefix(actual)} || '-hdx_') AS final_id_raw,
+        CASE WHEN trimmed = '' THEN '{note}' || CAST(doc_id AS VARCHAR) || ']'
+             ELSE trimmed ||
+                  (CASE WHEN substr(trimmed, -1, 1) IN
+                             ('.', '!', '?', ':', ';', ')', '"')
+                        THEN '' ELSE '.' END) ||
+                  ' {note}' || CAST(doc_id AS VARCHAR) || ']'
+        END AS description_raw
+      FROM base
+    )
+    SELECT doc_id, declared_types,
+           CASE WHEN status = 'ok' THEN actual_types END AS actual_types,
+           status,
+           CASE WHEN status = 'ok' THEN final_id_raw END AS final_id,
+           CASE WHEN status = 'ok' THEN description_raw END AS description
+    FROM labeled
+    """
+
+
+@register(
+    "integrate_records",
+    _oracle(),
+    doc="NB12 integration ladder (12…ipynb:816 integrate_record): declared "
+        "types from flags, REQUIRE_HE_FOR_VL standalone guard, base-record "
+        "gate, PREFIX_PRIORITY id rewrite, declared-vs-actual block "
+        "reconcile with re-validation, provenance-note description append "
+        "with the terminal-punctuation rule. One select, no shuffle; all 15 "
+        "HEVL combinations asserted in tests/test_integration.py against "
+        "the reference's own unit table (12…ipynb:742).",
+)
+def integrate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return integrate_frame(_inputs_frame(d))
+
+
+@register(
+    "integration_skipped",
+    f"""
+    WITH t AS ({_oracle()})
+    SELECT status, count(*) AS n_records
+    FROM t WHERE status <> 'ok'
+    GROUP BY status
+    """,
+    doc="Skip-reason complement report (12…ipynb integration_skipped.csv + "
+        "process_integration stats dict, :937): every non-ok record grouped "
+        "by its ladder reason.",
+)
+def integration_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        integrate_frame(_inputs_frame(d))
+        .filter(F.col("status") != "ok")
+        .groupBy("status")
+        .agg(F.count("*").alias("n_records"))
+    )
