@@ -260,6 +260,143 @@ def classify_documents_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# J9/NB05 — review-override APPLY (05…ipynb:645 load_overrides + cell-5-1
+# apply loop, component normalization cell-5-2, OSM-revert guard :771).
+# Round 1 had only the join shapes; this is the decision-apply semantics:
+#   exclude  -> excluded_by_override (never cleared by anything)
+#   keep     -> rdls_candidate := true, components replaced when provided
+#   final_excluded = excluded_by_policy OR excluded_by_override
+#   normalization (M5): a 'stream' component without 'query'/'storage'
+#     context auto-adds 'storage' (mirror of vulnerability_proxy/loss_impact
+#     requiring hazard/exposure -> auto-add exposure)
+#   OSM guard: a keep-override on a policy-excluded id is reverted.
+# ---------------------------------------------------------------------------
+
+# (doc_id, decision, components) — the overrides.yaml-shaped literal table.
+OVERRIDES: list[tuple[int, str, str | None]] = [
+    (7, "exclude", None),
+    (11, "keep", "stream"),
+    (13, "keep", None),
+    (19, "keep", "query,storage"),
+    (23, "keep", None),     # policy-excluded (23 % 23 == 0): guard reverts it
+    (29, "exclude", "query"),
+]
+
+_POLICY_MOD = 23  # excluded_by_policy <=> doc_id % 23 == 0 (P5's policy set)
+
+
+def _override_oracle() -> str:
+    vals = ", ".join(
+        f"({i}, '{d}', {repr(c) if c is not None else 'NULL'})"
+        for i, d, c in OVERRIDES
+    )
+    return f"""
+    WITH cls AS ({_full_oracle()}),
+    ov(ov_doc_id, decision, ov_components) AS (VALUES {vals}),
+    applied AS (
+      SELECT c.doc_id,
+             coalesce(o.decision, '') AS override_decision,
+             coalesce(o.ov_components, '') AS override_components,
+             (coalesce(o.decision, '') = 'exclude') AS excluded_by_override,
+             (c.doc_id % {_POLICY_MOD} = 0) AS excluded_by_policy,
+             (c.is_candidate OR coalesce(o.decision, '') = 'keep') AS rdls_candidate,
+             CASE WHEN coalesce(o.decision, '') = 'keep'
+                       AND coalesce(o.ov_components, '') <> ''
+                  THEN o.ov_components ELSE c.components END AS comps1
+      FROM cls c LEFT JOIN ov o ON c.doc_id = o.ov_doc_id
+    ),
+    normed AS (
+      SELECT *,
+             (excluded_by_policy OR excluded_by_override) AS final_excluded0,
+             (rdls_candidate
+              AND NOT (excluded_by_policy OR excluded_by_override)
+              AND comps1 <> ''
+              AND contains(comps1, 'stream')
+              AND NOT (contains(comps1, 'query') OR contains(comps1, 'storage'))
+             ) AS components_normalized
+      FROM applied
+    )
+    SELECT doc_id, override_decision, override_components, excluded_by_override,
+           rdls_candidate,
+           CASE WHEN components_normalized THEN
+                  concat_ws(',',
+                    CASE WHEN contains(comps1, 'query') THEN 'query' END,
+                    'storage',
+                    CASE WHEN contains(comps1, 'stream') THEN 'stream' END)
+                ELSE comps1 END AS components,
+           components_normalized,
+           (final_excluded0 OR (excluded_by_policy AND override_decision = 'keep'))
+             AS final_excluded,
+           (rdls_candidate AND NOT
+             (final_excluded0 OR (excluded_by_policy AND override_decision = 'keep')))
+             AS final_included
+    FROM normed
+    """
+
+
+@register(
+    "review_override_apply",
+    _override_oracle(),
+    doc="Review-override decision apply + component normalization + OSM "
+        "revert guard (SURVEY J9; 05…ipynb:645 apply loop, cell-5-2 M5 "
+        "normalization, :771 guard). classification ⟕ broadcast overrides, "
+        "then pure column algebra — exclude sets excluded_by_override, keep "
+        "forces candidacy and may replace components, lone-'stream' "
+        "components auto-add 'storage', and a keep on a policy-excluded id "
+        "is reverted to excluded.",
+)
+def review_override_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cls = classify_documents_full(spark, sf_dir)
+    ov = spark.createDataFrame(
+        [(i, d, c) for i, d, c in OVERRIDES],
+        "ov_doc_id long, decision string, ov_components string",
+    )
+    j = cls.join(
+        F.broadcast(ov), cls.doc_id == ov.ov_doc_id, "left"
+    )
+    decision = F.coalesce(F.col("decision"), F.lit(""))
+    ov_comps = F.coalesce(F.col("ov_components"), F.lit(""))
+    excluded_by_policy = F.col("doc_id") % _POLICY_MOD == 0
+    excluded_by_override = decision == "exclude"
+    rdls_candidate = F.col("is_candidate") | (decision == "keep")
+    comps1 = F.when(
+        (decision == "keep") & (ov_comps != ""), ov_comps
+    ).otherwise(F.col("components"))
+
+    final_excluded0 = excluded_by_policy | excluded_by_override
+    needs_norm = (
+        rdls_candidate
+        & ~final_excluded0
+        & (comps1 != "")
+        & comps1.contains("stream")
+        & ~(comps1.contains("query") | comps1.contains("storage"))
+    )
+    comps_out = F.when(
+        needs_norm,
+        F.concat_ws(
+            ",",
+            F.when(comps1.contains("query"), "query"),
+            F.lit("storage"),
+            F.when(comps1.contains("stream"), "stream"),
+        ),
+    ).otherwise(comps1)
+    # OSM-revert guard (05…ipynb:771): keep-overrides cannot resurrect
+    # policy-excluded ids.
+    final_excluded = final_excluded0 | (excluded_by_policy & (decision == "keep"))
+    return j.select(
+        "doc_id",
+        decision.alias("override_decision"),
+        ov_comps.alias("override_components"),
+        excluded_by_override.alias("excluded_by_override"),
+        rdls_candidate.alias("rdls_candidate"),
+        comps_out.alias("components"),
+        needs_norm.alias("components_normalized"),
+        final_excluded.alias("final_excluded"),
+        (rdls_candidate & ~final_excluded).alias("final_included"),
+    )
+
+
 @register(
     "top15_candidates",
     f"""
