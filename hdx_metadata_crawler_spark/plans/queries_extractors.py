@@ -687,6 +687,163 @@ def region_member_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J3 — hazard cross-reference with TEXT-INFERENCE FALLBACK
+# (11…ipynb:947 _infer_hazard_context: xref hit -> validated fields with
+#  per-field defaults; xref miss -> first-matching hazard-type pattern over
+#  the text, then the same defaults; analysis_type falls back to 'empirical'
+#  when missing or outside the codelist).  Round 1 had the coalesce chain
+#  only; this adds the inference arm — the 'fallback-on-missing path must
+#  match exactly' risk SURVEY §7.4 #6 flags.
+# ---------------------------------------------------------------------------
+
+# First-match-wins pattern order (HAZARD_TYPE_PATTERNS, 11…ipynb cell 4),
+# over the synthetic vocabulary.
+HAZARD_TYPE_PATTERNS: list[tuple[str, str]] = [
+    ("flood", r"hash|merge"),
+    ("earthquake", r"vector"),
+    ("cyclone", r"spark"),
+]
+HAZARD_PROCESS_DEFAULT = {
+    "flood": "fluvial_flood",
+    "earthquake": "ground_motion",
+    "cyclone": "wind",
+}
+DEFAULT_INTENSITY_MEASURE = {
+    "flood": "fl_wd:m",
+    "earthquake": "PGA:g",
+    "cyclone": "v_ect:km/h",
+}
+_VALID_ANALYSIS = ("probabilistic", "deterministic", "empirical")
+_HAZARDS = ["flood", "earthquake", "cyclone"]
+
+
+def _xref_case(col: str = "doc_id") -> str:
+    return (f"CASE WHEN {col} % 3 = 0 THEN 'flood' "
+            f"WHEN {col} % 3 = 1 THEN 'earthquake' ELSE 'cyclone' END")
+
+
+@register(
+    "hazard_context_resolution",
+    f"""
+    WITH xref AS (
+      SELECT doc_id AS x_doc_id,
+             {_xref_case()} AS x_hazard,
+             CASE WHEN doc_id % 2 = 0 THEN
+               (CASE WHEN doc_id % 3 = 0 THEN 'fluvial_flood'
+                     WHEN doc_id % 3 = 1 THEN 'ground_motion'
+                     ELSE 'wind' END) END AS x_process,
+             CASE WHEN doc_id % 5 = 0 THEN 'deterministic'
+                  ELSE 'not_a_codelist_value' END AS x_analysis,
+             CASE WHEN doc_id % 7 <> 0 THEN
+               (CASE WHEN doc_id % 3 = 0 THEN 'fl_wd:m'
+                     WHEN doc_id % 3 = 1 THEN 'PGA:g'
+                     ELSE 'v_ect:km/h' END) END AS x_im
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    inferred AS (
+      SELECT d.doc_id,
+             CASE WHEN x.x_doc_id IS NOT NULL THEN 'xref'
+                  WHEN {" OR ".join(f"regexp_matches(d.text, '{p}')" for _, p in HAZARD_TYPE_PATTERNS)}
+                  THEN 'text' END AS context_source,
+             coalesce(x.x_hazard,
+                      CASE WHEN regexp_matches(d.text, '{HAZARD_TYPE_PATTERNS[0][1]}') THEN 'flood'
+                           WHEN regexp_matches(d.text, '{HAZARD_TYPE_PATTERNS[1][1]}') THEN 'earthquake'
+                           WHEN regexp_matches(d.text, '{HAZARD_TYPE_PATTERNS[2][1]}') THEN 'cyclone'
+                      END) AS hazard_primary,
+             x.x_doc_id IS NOT NULL AS from_xref,
+             x.x_process, x.x_analysis, x.x_im
+      FROM documents d LEFT JOIN xref x ON d.doc_id = x.x_doc_id
+    )
+    SELECT doc_id, context_source, hazard_primary,
+           coalesce(x_process,
+             CASE hazard_primary WHEN 'flood' THEN 'fluvial_flood'
+                  WHEN 'earthquake' THEN 'ground_motion'
+                  WHEN 'cyclone' THEN 'wind' END) AS hazard_process_primary,
+           CASE WHEN hazard_primary IS NULL THEN NULL
+                WHEN from_xref AND x_analysis IN {str(_VALID_ANALYSIS)}
+                THEN x_analysis ELSE 'empirical' END AS hazard_analysis_type,
+           coalesce(x_im,
+             CASE hazard_primary WHEN 'flood' THEN 'fl_wd:m'
+                  WHEN 'earthquake' THEN 'PGA:g'
+                  WHEN 'cyclone' THEN 'v_ect:km/h' END) AS intensity_measure
+    FROM inferred
+    """,
+    doc="Hazard-context resolution: broadcast-left xref join with the "
+        "text-inference fallback arm (SURVEY J3; 11…ipynb:947 "
+        "_infer_hazard_context): xref hit -> validated fields with "
+        "per-field defaults (process default by hazard, analysis_type -> "
+        "'empirical' when outside the codelist, intensity default by "
+        "hazard); miss -> first-matching pattern in fixed order, same "
+        "defaults, 'empirical' analysis. Dims broadcast; zero fact shuffle.",
+)
+def hazard_context_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    x_hazard = (
+        F.when(F.col("doc_id") % 3 == 0, "flood")
+        .when(F.col("doc_id") % 3 == 1, "earthquake")
+        .otherwise("cyclone")
+    )
+    xref = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("x_doc_id"),
+        x_hazard.alias("x_hazard"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.element_at(
+                F.create_map(
+                    *[F.lit(v) for kv in HAZARD_PROCESS_DEFAULT.items() for v in kv]
+                ),
+                x_hazard,
+            ),
+        ).alias("x_process"),
+        F.when(F.col("doc_id") % 5 == 0, "deterministic")
+        .otherwise("not_a_codelist_value")
+        .alias("x_analysis"),
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.element_at(
+                F.create_map(
+                    *[F.lit(v) for kv in DEFAULT_INTENSITY_MEASURE.items() for v in kv]
+                ),
+                x_hazard,
+            ),
+        ).alias("x_im"),
+    )
+    j = d.join(F.broadcast(xref), d.doc_id == xref.x_doc_id, "left")
+
+    text_inferred = None
+    for hz, pat in HAZARD_TYPE_PATTERNS:  # first match wins, fixed order
+        branch = (F.col("text").rlike(pat), F.lit(hz))
+        text_inferred = (
+            F.when(*branch) if text_inferred is None else text_inferred.when(*branch)
+        )
+    hazard_primary = F.coalesce(F.col("x_hazard"), text_inferred)
+    from_xref = F.col("x_doc_id").isNotNull()
+    proc_default = F.element_at(
+        F.create_map(*[F.lit(v) for kv in HAZARD_PROCESS_DEFAULT.items() for v in kv]),
+        hazard_primary,
+    )
+    im_default = F.element_at(
+        F.create_map(*[F.lit(v) for kv in DEFAULT_INTENSITY_MEASURE.items() for v in kv]),
+        hazard_primary,
+    )
+    return j.select(
+        "doc_id",
+        F.when(from_xref, "xref")
+        .when(text_inferred.isNotNull(), "text")
+        .alias("context_source"),
+        hazard_primary.alias("hazard_primary"),
+        F.coalesce(F.col("x_process"), proc_default).alias("hazard_process_primary"),
+        F.when(hazard_primary.isNull(), F.lit(None).cast("string"))
+        .when(
+            from_xref & F.col("x_analysis").isin(*_VALID_ANALYSIS), F.col("x_analysis")
+        )
+        .otherwise("empirical")
+        .alias("hazard_analysis_type"),
+        F.coalesce(F.col("x_im"), im_default).alias("intensity_measure"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 — pilot shortlist: top-N per bucket, buckets ordered by size
 # (02…ipynb:785 make_pilot_shortlist, PILOT_MAX_PER_BUCKET)
 # ---------------------------------------------------------------------------
