@@ -687,6 +687,76 @@ def region_member_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v5 — signal-dictionary-scale extraction: ~330 patterns in 11 sections
+# fused to one alternation per codelist value (SURVEY §4 custom optimization;
+# 08…ipynb cell 11 merge '|'.join(patterns); dialect risk §7.4 #3 handled by
+# functions/signal_bank.translate_pattern and pinned by
+# tests/test_signal_bank.py's Python-vs-Spark fixture parity).
+# ---------------------------------------------------------------------------
+
+from ..functions.signal_bank import N_PATTERNS, fused_bank  # noqa: E402
+
+
+def _signal_bank_oracle() -> str:
+    branches = ", ".join(
+        f"""CASE WHEN regexp_matches(text, '{pat}') THEN
+              struct_pack(section := '{sec}', value := '{val}',
+                          confidence := CAST({conf} AS DOUBLE)) END"""
+        for sec, val, pat, conf in fused_bank()
+    )
+    return f"""
+    SELECT doc_id, m.section AS section, m.value AS value,
+           m.confidence AS confidence
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter([{branches}], x -> x IS NOT NULL)) AS m
+      FROM documents
+    )
+    """
+
+
+@register(
+    "signal_bank_extraction",
+    _signal_bank_oracle(),
+    doc=f"Signal-dictionary-scale classify: {N_PATTERNS} raw patterns "
+        "(11 sections x 8 codelist values, signal_dictionary.yaml structure) "
+        "fused to one alternation per value — one rlike per VALUE, not per "
+        "pattern (~4x fewer regex evaluations, the reference's own merge "
+        "optimization). The literal when-array is built in chunks and "
+        "concatenated so no single codegen method crosses janino's 64KB "
+        "limit; one scan, no shuffle, one explode.",
+)
+def signal_bank_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bank = fused_bank()
+    chunk_size = 22
+    arrays = []
+    for i in range(0, len(bank), chunk_size):
+        arrays.append(
+            F.array(
+                *[
+                    F.when(
+                        F.col("text").rlike(pat),
+                        F.struct(
+                            F.lit(sec).alias("section"),
+                            F.lit(val).alias("value"),
+                            F.lit(conf).alias("confidence"),
+                        ),
+                    )
+                    for sec, val, pat, conf in bank[i : i + chunk_size]
+                ]
+            )
+        )
+    matched = F.filter(F.concat(*arrays), lambda x: x.isNotNull())
+    return d.select("doc_id", F.explode(matched).alias("m")).select(
+        "doc_id",
+        F.col("m.section").alias("section"),
+        F.col("m.value").alias("value"),
+        F.col("m.confidence").alias("confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J3 — hazard cross-reference with TEXT-INFERENCE FALLBACK
 # (11…ipynb:947 _infer_hazard_context: xref hit -> validated fields with
 #  per-field defaults; xref miss -> first-matching hazard-type pattern over
