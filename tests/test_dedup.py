@@ -80,3 +80,46 @@ def test_exact_dedup_first_seen(spark):
         for r in dedup.exact_dedup(df, ["k1", "k2"], "id").collect()
     }
     assert out == {("x", 10): (1, 2), ("y", 20): (3, 1)}
+
+
+def test_simhash_hamming_pairs_exact_recall(spark):
+    """Pigeonhole chunk bucketing is a GUARANTEE, not probabilistic: the
+    bucketed pair query must equal brute-force all-pairs hamming <= 3
+    exactly — no pair lost (completeness) and none invented (the in-bucket
+    exact verify)."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_MEDIUM
+
+    base = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    # guarantee near-dup pairs: exact copies (distance 0) and one-token
+    # perturbations (small distance) of the first docs
+    copies = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    perturbed = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(copies).unionByName(perturbed)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(corpus, "doc_id", "text", 3).collect()
+    }
+
+    fps = {
+        r["_id"]: r["simhash"]
+        for r in dedup.simhash64(corpus, "doc_id", "text").collect()
+    }
+    import itertools
+
+    expected = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        h = bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+        if h <= 3:
+            expected[(a, b)] = h
+    assert len(expected) >= 30  # the copies alone give 30 distance-0 pairs
+    assert got == expected
