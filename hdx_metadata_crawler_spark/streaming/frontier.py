@@ -57,6 +57,8 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from ..operators import ranking
+from ..operators.ranking import two_phase_rank
 from ..sources import synthetic
 from . import bloom, robots
 
@@ -505,12 +507,19 @@ class CrawlEngine:
             err_exhausted = retry.filter(F.col("attempt") + 1 > cfg.max_retries)
             retry_next = retry.filter(F.col("attempt") + 1 <= cfg.max_retries)
 
-            # 5a. manifest (crawl-order contract: rank by (priority, canon_url))
-            wr = Window.orderBy("priority", "canon_url")
-            manifest_new = ok.select(
-                "round", "canon_url", "dataset_id", "title", "host", "time_slot",
-                "attempt", "priority",
-            ).withColumn("rank", F.row_number().over(wr)).select(
+            # 5a. manifest (crawl-order contract: rank by (priority,
+            # canon_url)).  Two-phase rank: a bare Window.orderBy would pull
+            # the whole page through ONE task; range-partition + local
+            # row_number + prefix-sum offsets gives the identical ranking
+            # N-way parallel (operators/ranking.py).
+            manifest_new = two_phase_rank(
+                ok.select(
+                    "round", "canon_url", "dataset_id", "title", "host",
+                    "time_slot", "attempt", "priority",
+                ),
+                ["priority", "canon_url"],
+                num_partitions=max(2, cfg.fetch_partitions // 4),
+            ).select(
                 "round", "rank", "canon_url", "dataset_id", "title", "host",
                 "time_slot", "attempt",
             )
@@ -629,6 +638,7 @@ class CrawlEngine:
             if flagged_page is not None:
                 flagged_page.unpersist()
             bloom.release_persisted()
+            ranking.release_persisted()
 
         final_round = self.latest_committed_round()
         return {
