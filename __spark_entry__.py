@@ -24,11 +24,13 @@ from hdx_metadata_crawler_spark.plans import registry as _registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (SURVEY §7.2): weighted-keyword classification of the
-    document corpus at sf0.001 — score → confidence bucket → candidate flag."""
-    from hdx_metadata_crawler_spark.plans.queries_text import classify_documents
+    """Flagship query (SURVEY §7.2, upgraded round 2 to the FULL A2 cascade):
+    tag-weight broadcast join + keyword rlike scoring + org-hint substring
+    join + exclusion floor → components with best-component fallback →
+    candidate flag → confidence bucket, over the sf0.001 corpus."""
+    from hdx_metadata_crawler_spark.plans.queries_text import classify_documents_full
 
-    return classify_documents(spark, "/root/testdata/sf0.001")
+    return classify_documents_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -59,6 +59,14 @@ HEADLINE = [
     "session_windows",
     "media_features",
     "cosine_neardup_exact",
+    # round 2 additions: full scoring cascade, signal-dictionary-scale regex
+    # bank, tier merge, integration ladder, jsonschema UDF, simhash pairs.
+    "classify_documents_full",
+    "signal_bank_extraction",
+    "tier_merge",
+    "integrate_records",
+    "jsonschema_validation",
+    "simhash_hamming_pairs",
 ]
 
 
