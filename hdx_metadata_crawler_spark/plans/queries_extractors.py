@@ -86,6 +86,134 @@ def osm_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P3 — fast text prefilter as an explicit two-stage filter
+# (02…ipynb:385-434: FAST_MARKERS substring scan of the RAW text BEFORE the
+# expensive parse/detect; the prefilter is a SUPERSET test — final detection
+# stays authoritative).  Markers cover every token the detector's rules can
+# fire on, so prefilter-false rows can be skipped without loss.
+# ---------------------------------------------------------------------------
+
+FAST_MARKERS = ["table", "stream", "join", "window", "vector", "merge"]
+
+
+@register(
+    "osm_prefilter",
+    f"""
+    SELECT doc_id,
+           ({' OR '.join(f"contains(text, '{m}')" for m in FAST_MARKERS)})
+             AS maybe_osm,
+           ((regexp_matches(text, 'table') OR regexp_matches(text, 'stream'))
+            OR ({' + '.join(f"CASE WHEN regexp_matches(text, '{name.split('_')[1]}') THEN 1 ELSE 0 END"
+                            for name in ('rule_join', 'rule_window', 'rule_vector', 'rule_merge'))}) >= 2)
+             AS flagged
+    FROM documents
+    """,
+    doc="Two-stage fast prefilter (SURVEY P3, 02…ipynb:385-434 "
+        "prefilter_maybe_osm): cheap substring markers over the raw text "
+        "gate the multi-rule regex detector; the superset property "
+        "(flagged => maybe_osm) is asserted in tests so prefilter-false "
+        "rows are provably skippable. At 100 TB the contains() predicate "
+        "costs a vectorized scan; the regex bank only runs on survivors.",
+)
+def osm_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    maybe = None
+    for m in FAST_MARKERS:
+        c = F.col("text").contains(m)
+        maybe = c if maybe is None else (maybe | c)
+    strong = F.col("text").rlike("table") | F.col("text").rlike("stream")
+    supporting = sum(
+        F.col("text").rlike(p).cast("int") for p in ("join", "window", "vector", "merge")
+    )
+    return d.select(
+        "doc_id",
+        maybe.alias("maybe_osm"),
+        (strong | (supporting >= 2)).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — loss false-positive exclusions + weak-signal downgrade
+# (11…ipynb:2541 LOSS_EXCLUSION_PATTERNS with [\s._-]? separators; applied
+# at :3087-3100: exclusion hit + only generic signals => drop entirely,
+# exclusion hit + strong signals => keep but FILTER OUT the generic ones).
+# ---------------------------------------------------------------------------
+
+LOSS_SIGNAL_PATTERNS: list[tuple[str, str]] = [
+    ("economic_loss", r"\b(value|customer)\b"),
+    ("human_loss", r"\bline\b"),
+    ("infrastructure_damage", r"\b(column|part)\b"),
+    ("general_loss", r"\b(data|row)\b"),  # the weak/generic signal
+]
+LOSS_EXCLUSION_PATTERNS: list[str] = [
+    r"\bslow[\s._-]?value\b",
+    r"\bslow[\s._-]?line\b",
+    r"\bsmall[\s._-]?value\b",
+    r"\bbig[\s._-]?data\b",
+]
+_WEAK_SIGNALS = ("general_loss",)
+
+
+@register(
+    "loss_signal_detection",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             ({' OR '.join(f"regexp_matches(text, '{p}')" for p in LOSS_EXCLUSION_PATTERNS)})
+               AS has_exclusion,
+             {', '.join(f"regexp_matches(text, '{p}') AS s_{name}"
+                        for name, p in LOSS_SIGNAL_PATTERNS)}
+      FROM documents
+    )
+    SELECT doc_id, has_exclusion,
+           coalesce(concat_ws(',',
+             {', '.join(f"CASE WHEN s_{name} THEN '{name}' END"
+                        for name, _ in LOSS_SIGNAL_PATTERNS)}), '') AS detected,
+           coalesce(concat_ws(',',
+             {', '.join(f"CASE WHEN s_{name} AND NOT (has_exclusion AND {str(name in _WEAK_SIGNALS).lower()}) THEN '{name}' END"
+                        for name, _ in LOSS_SIGNAL_PATTERNS)}), '') AS kept,
+           ({' OR '.join(f"(s_{name} AND NOT (has_exclusion AND {str(name in _WEAK_SIGNALS).lower()}))"
+                         for name, _ in LOSS_SIGNAL_PATTERNS)}) AS extract_loss
+    FROM sig
+    """,
+    doc="Loss false-positive exclusions + weak-signal downgrade (SURVEY P10; "
+        "11…ipynb:2541 LOSS_EXCLUSION_PATTERNS '[\\s._-]?'-separated pairs, "
+        "applied :3087: exclusion + only-generic signals => drop, exclusion "
+        "+ strong signals => strip the generic ones). Pure column algebra, "
+        "one scan, no shuffle.",
+)
+def loss_signal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    has_excl = None
+    for p in LOSS_EXCLUSION_PATTERNS:
+        c = F.col("text").rlike(p)
+        has_excl = c if has_excl is None else (has_excl | c)
+    sig = {name: F.col("text").rlike(p) for name, p in LOSS_SIGNAL_PATTERNS}
+    kept_flags = {
+        name: sig[name] & ~(has_excl & F.lit(name in _WEAK_SIGNALS))
+        for name, _ in LOSS_SIGNAL_PATTERNS
+    }
+    extract_loss = None
+    for name, _ in LOSS_SIGNAL_PATTERNS:
+        extract_loss = (
+            kept_flags[name]
+            if extract_loss is None
+            else (extract_loss | kept_flags[name])
+        )
+    return d.select(
+        "doc_id",
+        has_excl.alias("has_exclusion"),
+        F.concat_ws(
+            ",", *[F.when(sig[n], F.lit(n)) for n, _ in LOSS_SIGNAL_PATTERNS]
+        ).alias("detected"),
+        F.concat_ws(
+            ",", *[F.when(kept_flags[n], F.lit(n)) for n, _ in LOSS_SIGNAL_PATTERNS]
+        ).alias("kept"),
+        extract_loss.alias("extract_loss"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P7 — text sanitization chain (06…ipynb:552-640 sanitize_text)
 # ---------------------------------------------------------------------------
 
