@@ -576,6 +576,216 @@ def tier_merge_frame(d: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v5 — NB10 metric inference scoped by category (10…ipynb:745
+# _detect_dimensions_for_category + :765 _detect_quantity_kind):
+#   dims detected at 0.8; if the category's DEFAULT dim is among them it
+#   wins at 0.85; if none detected, the default at 0.5.  Quantity kind =
+#   first matching pattern in fixed order at 0.8, else the category default
+#   at 0.5 (CATEGORY_DEFAULT_METRICS = first VALID_TRIPLETS entry, :237).
+# ---------------------------------------------------------------------------
+
+DIMENSION_PATTERNS: list[tuple[str, str]] = [
+    ("structure", r"\bcolumn\b"),
+    ("content", r"\bdata\b"),
+    ("population", r"\bcustomer\b"),
+]
+QUANTITY_PATTERNS: list[tuple[str, str]] = [
+    ("count", r"\bsort\b"),
+    ("area", r"\bbig\b"),
+    ("currency", r"\border\b"),
+]
+CATEGORY_DEFAULT_METRICS: dict[str, tuple[str, str]] = {
+    "infrastructure": ("structure", "count"),
+    "population": ("population", "count"),
+    "roads": ("content", "area"),
+    "agriculture": ("content", "count"),
+    "energy": ("structure", "currency"),
+}
+
+
+def _metric_inference_oracle() -> str:
+    dim_hits = ", ".join(
+        f"regexp_matches(text, '{p}') AS d_{n}" for n, p in DIMENSION_PATTERNS
+    )
+    qty_hits = ", ".join(
+        f"regexp_matches(text, '{p}') AS q_{n}" for n, p in QUANTITY_PATTERNS
+    )
+    any_dim = " OR ".join(f"d_{n}" for n, _ in DIMENSION_PATTERNS)
+    first_dim = "CASE " + " ".join(
+        f"WHEN d_{n} THEN '{n}'" for n, _ in DIMENSION_PATTERNS
+    ) + " END"
+    first_qty = "CASE " + " ".join(
+        f"WHEN q_{n} THEN '{n}'" for n, _ in QUANTITY_PATTERNS
+    ) + " END"
+    def_dim = "CASE " + " ".join(
+        f"WHEN category = '{c}' THEN '{d}'" for c, (d, _) in CATEGORY_DEFAULT_METRICS.items()
+    ) + " ELSE 'content' END"
+    def_dim_hit = "CASE " + " ".join(
+        f"WHEN category = '{c}' THEN d_{d}" for c, (d, _) in CATEGORY_DEFAULT_METRICS.items()
+    ) + " ELSE d_content END"
+    def_qty = "CASE " + " ".join(
+        f"WHEN category = '{c}' THEN '{q}'" for c, (_, q) in CATEGORY_DEFAULT_METRICS.items()
+    ) + " ELSE 'count' END"
+    cats = ", ".join(
+        f"CASE WHEN regexp_matches(text, '{p}') THEN '{c}' END"
+        for c, p in TIER_CATEGORIES
+    )
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, {dim_hits}, {qty_hits},
+             unnest(list_filter([{cats}], x -> x IS NOT NULL)) AS category
+      FROM documents
+    )
+    SELECT doc_id, category,
+           CASE WHEN ({any_dim}) AND ({def_dim_hit}) THEN {def_dim}
+                WHEN ({any_dim}) THEN {first_dim}
+                ELSE {def_dim} END AS dimension,
+           CAST(CASE WHEN ({any_dim}) AND ({def_dim_hit}) THEN 0.85
+                     WHEN ({any_dim}) THEN 0.8
+                     ELSE 0.5 END AS DOUBLE) AS dim_confidence,
+           coalesce({first_qty}, {def_qty}) AS quantity_kind,
+           CAST(CASE WHEN {first_qty} IS NOT NULL THEN 0.8 ELSE 0.5 END
+                AS DOUBLE) AS qty_confidence
+    FROM hits
+    """
+
+
+@register(
+    "exposure_metric_inference",
+    _metric_inference_oracle(),
+    doc="Category-scoped metric inference (10…ipynb:745/:765): detected "
+        "dimensions at 0.8, category-default preferred at 0.85, default "
+        "fallback at 0.5; quantity kind first-match 0.8 / default 0.5 "
+        "(CATEGORY_DEFAULT_METRICS from VALID_TRIPLETS). One scan, one "
+        "explode, no shuffle — constraint tables folded as literal "
+        "when-chains (SURVEY §2.8 map/struct row).",
+)
+def exposure_metric_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dim_hit = {n: F.col("text").rlike(p) for n, p in DIMENSION_PATTERNS}
+    qty_hit = {n: F.col("text").rlike(p) for n, p in QUANTITY_PATTERNS}
+    any_dim = None
+    for n, _ in DIMENSION_PATTERNS:
+        any_dim = dim_hit[n] if any_dim is None else (any_dim | dim_hit[n])
+    first_dim = None
+    for n, _ in DIMENSION_PATTERNS:
+        b = (dim_hit[n], F.lit(n))
+        first_dim = F.when(*b) if first_dim is None else first_dim.when(*b)
+    first_qty = None
+    for n, _ in QUANTITY_PATTERNS:
+        b = (qty_hit[n], F.lit(n))
+        first_qty = F.when(*b) if first_qty is None else first_qty.when(*b)
+
+    cat = F.col("category")
+    def_dim = None
+    def_dim_hit = None
+    def_qty = None
+    for c, (dd, qq) in CATEGORY_DEFAULT_METRICS.items():
+        b = cat == c
+        def_dim = F.when(b, dd) if def_dim is None else def_dim.when(b, dd)
+        def_dim_hit = (
+            F.when(b, dim_hit[dd]) if def_dim_hit is None else def_dim_hit.when(b, dim_hit[dd])
+        )
+        def_qty = F.when(b, qq) if def_qty is None else def_qty.when(b, qq)
+    def_dim = def_dim.otherwise("content")
+    def_dim_hit = def_dim_hit.otherwise(dim_hit["content"])
+    def_qty = def_qty.otherwise("count")
+
+    cats = F.filter(
+        F.array(*[
+            F.when(F.col("text").rlike(p), F.lit(c)) for c, p in TIER_CATEGORIES
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    exploded = d.select("doc_id", "text", F.explode(cats).alias("category"))
+    return exploded.select(
+        "doc_id",
+        "category",
+        F.when(any_dim & def_dim_hit, def_dim)
+        .when(any_dim, first_dim)
+        .otherwise(def_dim)
+        .alias("dimension"),
+        F.when(any_dim & def_dim_hit, 0.85)
+        .when(any_dim, 0.8)
+        .otherwise(0.5)
+        .alias("dim_confidence"),
+        F.coalesce(first_qty, def_qty).alias("quantity_kind"),
+        F.when(first_qty.isNotNull(), 0.8).otherwise(0.5).alias("qty_confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# v5 — NB11 currency detection (10…ipynb:776 _detect_currency / 11…ipynb
+# CURRENCY_PATTERNS): first-matching word pattern wins; fallback scans
+# standalone [A-Z]{3} tokens against the COMMON_CURRENCIES allowlist.
+# ---------------------------------------------------------------------------
+
+CURRENCY_PATTERNS: list[tuple[str, str]] = [
+    (r"\b(usd|us[\s._-]?dollar)\b", "USD"),
+    (r"\b(eur|euro)\b", "EUR"),
+    (r"\b(gbp|pound[\s._-]?sterling)\b", "GBP"),
+]
+COMMON_CURRENCIES = ("USD", "EUR", "GBP", "JPY", "INR", "CHF")
+
+
+@register(
+    "currency_detection",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || (CASE doc_id % 7
+                        WHEN 0 THEN ' usd cost'
+                        WHEN 1 THEN ' in euro'
+                        WHEN 2 THEN ' JPY 100'
+                        WHEN 3 THEN ' INR and XYZ'
+                        ELSE '' END) AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(
+             {" ".join(f"CASE WHEN regexp_matches(txt, '{p}') THEN '{c}' END,"
+                       for p, c in CURRENCY_PATTERNS)}
+             list_filter(regexp_extract_all(txt, '\\b[A-Z]{{3}}\\b'),
+                         u -> list_contains({list(COMMON_CURRENCIES)}, u))[1],
+             '') AS currency
+    FROM t
+    """,
+    doc="ISO-4217 currency detection (10…ipynb:776 _detect_currency): "
+        "first-matching word pattern wins, then the standalone-uppercase-"
+        "triple fallback filtered by the COMMON_CURRENCIES allowlist, else "
+        "''. First-match = when-chain; fallback = regexp_extract_all + "
+        "filter + element_at. Deterministic currency suffixes are appended "
+        "by doc_id so every branch occurs in the corpus.",
+)
+def currency_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 7 == 0, " usd cost")
+        .when(F.col("doc_id") % 7 == 1, " in euro")
+        .when(F.col("doc_id") % 7 == 2, " JPY 100")
+        .when(F.col("doc_id") % 7 == 3, " INR and XYZ")
+        .otherwise("")
+    )
+    txt = F.concat(F.col("text"), suffix)
+    first_pat = None
+    for p, c in CURRENCY_PATTERNS:
+        b = (txt.rlike(p), F.lit(c))
+        first_pat = F.when(*b) if first_pat is None else first_pat.when(*b)
+    allow = F.array(*[F.lit(c) for c in COMMON_CURRENCIES])
+    fallback = F.try_element_at(
+        F.filter(
+            F.regexp_extract_all(txt, F.lit(r"\b[A-Z]{3}\b"), 0),
+            lambda u: F.array_contains(allow, u),
+        ),
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        F.coalesce(first_pat, fallback, F.lit("")).alias("currency"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A9/A10 — composite confidence scoring, tiering, tier pivot
 # (13…ipynb:949 compute_composite_confidence, weights .40/.25/.20/.15,
 #  tier thresholds .8/.5 at :149; cell 19/20 tier x validity counts)
