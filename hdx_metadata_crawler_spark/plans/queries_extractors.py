@@ -427,11 +427,11 @@ TIER3_CONFIDENCE = 0.6
 CORROBORATION_BOOST = 0.05
 
 TIER_CATEGORIES: list[tuple[str, str]] = [
-    ("infrastructure", "table"),
-    ("population", "stream"),
-    ("roads", "join"),
-    ("agriculture", "vector"),
-    ("energy", "window"),
+    ("infrastructure", r"\btable\b"),
+    ("population", r"\bstream\b"),
+    ("roads", r"\bjoin\b"),
+    ("agriculture", r"\bvector\b"),
+    ("energy", r"\bwindow\b"),
 ]
 
 
