@@ -715,6 +715,85 @@ def exposure_metric_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v5 — constraint-table validation with default fallback (10…ipynb:196
+# VALID_TRIPLETS: per-category allowed (dimension, quantity) pairs, first
+# entry = the category default; 11…ipynb _validate_function_metrics falls
+# back to the defaults when an inferred combination violates the table).
+# ---------------------------------------------------------------------------
+
+VALID_TRIPLETS: dict[str, list[tuple[str, str]]] = {
+    "infrastructure": [("structure", "count"), ("structure", "currency")],
+    "population": [("population", "count")],
+    "roads": [("content", "area"), ("content", "count")],
+    "agriculture": [("content", "count"), ("content", "area")],
+    "energy": [("structure", "currency"), ("structure", "count")],
+}
+# invariant the reference asserts at load time (10…ipynb:237): defaults are
+# the first VALID_TRIPLETS entry per category
+assert all(
+    VALID_TRIPLETS[c][0] == CATEGORY_DEFAULT_METRICS[c] for c in VALID_TRIPLETS
+)
+
+
+@register(
+    "triplet_constraint_validation",
+    f"""
+    WITH inferred AS ({_metric_inference_oracle()}),
+    triplets(t_category, t_dimension, t_quantity) AS (VALUES
+      {', '.join(f"('{c}', '{d}', '{q}')" for c, pairs in VALID_TRIPLETS.items() for d, q in pairs)}
+    )
+    SELECT i.doc_id, i.category,
+           (t.t_category IS NOT NULL) AS constraint_ok,
+           CASE WHEN t.t_category IS NOT NULL THEN i.dimension
+                ELSE (CASE {" ".join(f"WHEN i.category = '{c}' THEN '{d}'" for c, (d, _) in CATEGORY_DEFAULT_METRICS.items())}
+                      ELSE 'content' END) END AS dimension_final,
+           CASE WHEN t.t_category IS NOT NULL THEN i.quantity_kind
+                ELSE (CASE {" ".join(f"WHEN i.category = '{c}' THEN '{q}'" for c, (_, q) in CATEGORY_DEFAULT_METRICS.items())}
+                      ELSE 'count' END) END AS quantity_final
+    FROM inferred i
+    LEFT JOIN triplets t
+      ON i.category = t.t_category AND i.dimension = t.t_dimension
+         AND i.quantity_kind = t.t_quantity
+    """,
+    doc="Constraint-table validation with default fallback (10…ipynb:196 "
+        "VALID_TRIPLETS + 11…ipynb _validate_function_metrics): inferred "
+        "(category, dimension, quantity) joined to the broadcast constraint "
+        "dim; violations fall back to the category's default pair (the "
+        "table's first entry — the load-time invariant the reference "
+        "asserts). Broadcast join, zero fact shuffle.",
+)
+def triplet_constraint_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inferred = exposure_metric_inference(spark, sf_dir)
+    spark_triplets = spark.createDataFrame(
+        [(c, d, q) for c, pairs in VALID_TRIPLETS.items() for d, q in pairs],
+        ["t_category", "t_dimension", "t_quantity"],
+    )
+    j = inferred.join(
+        F.broadcast(spark_triplets),
+        (F.col("category") == F.col("t_category"))
+        & (F.col("dimension") == F.col("t_dimension"))
+        & (F.col("quantity_kind") == F.col("t_quantity")),
+        "left",
+    )
+    ok = F.col("t_category").isNotNull()
+    def_dim = None
+    def_qty = None
+    for c, (dd, qq) in CATEGORY_DEFAULT_METRICS.items():
+        b = F.col("category") == c
+        def_dim = F.when(b, dd) if def_dim is None else def_dim.when(b, dd)
+        def_qty = F.when(b, qq) if def_qty is None else def_qty.when(b, qq)
+    def_dim = def_dim.otherwise("content")
+    def_qty = def_qty.otherwise("count")
+    return j.select(
+        "doc_id",
+        "category",
+        ok.alias("constraint_ok"),
+        F.when(ok, F.col("dimension")).otherwise(def_dim).alias("dimension_final"),
+        F.when(ok, F.col("quantity_kind")).otherwise(def_qty).alias("quantity_final"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # v5 — NB11 currency detection (10…ipynb:776 _detect_currency / 11…ipynb
 # CURRENCY_PATTERNS): first-matching word pattern wins; fallback scans
 # standalone [A-Z]{3} tokens against the COMMON_CURRENCIES allowlist.
