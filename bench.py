@@ -62,6 +62,7 @@ HEADLINE = [
     # round 2 additions: full scoring cascade, signal-dictionary-scale regex
     # bank, tier merge, integration ladder, jsonschema UDF, simhash pairs.
     "classify_documents_full",
+    "classify_documents_fused",
     "signal_bank_extraction",
     "tier_merge",
     "integrate_records",

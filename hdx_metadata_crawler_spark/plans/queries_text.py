@@ -260,6 +260,77 @@ def classify_documents_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "classify_documents_fused",
+    _full_oracle(),
+    doc="ZERO-SHUFFLE form of the full A2 cascade — same oracle, same "
+        "output as classify_documents_full, different physical strategy: "
+        "tag weights summed with aggregate() over the distinct-token array "
+        "against a literal map (Catalyst folds the map; no explode, no "
+        "join, no shuffle) and org hints as a when-chain over the 3 "
+        "substring predicates. ONE scan of the corpus, one stage. At "
+        "100 TB this is the plan of choice when the weight table fits a "
+        "literal (the reference's is ~40 tags); the broadcast-join form "
+        "(classify_documents_full) is the path once config tables outgrow "
+        "expression folding. bench.py times both.",
+)
+def classify_documents_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = F.array_distinct(tokenize(text))
+
+    # per-component literal tag->weight maps, summed via aggregate()
+    def tag_score(comp: str):
+        entries = [(t, w) for c, t, w in TAG_WEIGHTS if c == comp]
+        m = F.create_map(*[F.lit(v) for t, w in entries for v in (t, w)])
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, tok: acc + F.coalesce(m[tok], F.lit(0)),
+        )
+
+    def org_score(comp: str):
+        entries = [(s, w) for s, c, w in ORG_HINTS if c == comp]
+        out = F.lit(0)
+        for s, w in entries:
+            out = out + F.when(F.col("source").contains(s), w).otherwise(0)
+        return out
+
+    excl = keyword_hit_count(text, EXCLUSION_PATTERNS)
+    scores = {
+        c: F.greatest(
+            F.lit(0),
+            tag_score(c)
+            + F.lit(2) * keyword_hit_count(text, COMPONENT_PATTERNS[c])
+            + org_score(c)
+            - F.lit(3) * excl,
+        )
+        for c in _COMPONENTS
+    }
+    scored = d.select("doc_id", *[scores[c].alias(f"score_{c}") for c in _COMPONENTS])
+    score_max = F.greatest(*[F.col(f"score_{c}") for c in _COMPONENTS])
+    comp0 = F.concat_ws(
+        ",", *[F.when(F.col(f"score_{c}") >= 5, F.lit(c)) for c in _COMPONENTS]
+    )
+    fallback = (
+        F.when(F.col("score_query") == F.col("score_max"), "query")
+        .when(F.col("score_storage") == F.col("score_max"), "storage")
+        .otherwise("stream")
+    )
+    return (
+        scored.withColumn("score_max", score_max)
+        .withColumn("comp0", comp0)
+        .select(
+            "doc_id", "score_query", "score_storage", "score_stream", "score_max",
+            F.when((F.col("comp0") == "") & (F.col("score_max") > 0), fallback)
+            .otherwise(F.col("comp0"))
+            .alias("components"),
+            (F.col("score_max") >= 5).alias("is_candidate"),
+            confidence_bucket(F.col("score_max")).alias("confidence"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # J9/NB05 — review-override APPLY (05…ipynb:645 load_overrides + cell-5-1
 # apply loop, component normalization cell-5-2, OSM-revert guard :771).
