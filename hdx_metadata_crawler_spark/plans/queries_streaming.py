@@ -120,6 +120,58 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_dedup",
+    """
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           round(value, 2) AS value
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Custom stateful streaming operator (SURVEY §2.9 dup-suppression as "
+        "TRUE Structured Streaming state): applyInPandasWithState keyed by "
+        "user_id, per-key seen-set in the checkpointed state store, emits "
+        "the FIRST full row per (user, event_type) and suppresses later "
+        "ones — including across micro-batches and restarts "
+        "(tests/test_stateful_stream.py drives two checkpointed runs). "
+        "Under availableNow on one file the whole source is one batch, so "
+        "the oracle is first-row-per-key by (ts, event_id).",
+)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import first_seen_dedup_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    table = f"stream_dedup_{int(time.time() * 1000) % 10**9}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        first_seen_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,

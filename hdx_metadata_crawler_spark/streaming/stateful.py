@@ -1,0 +1,74 @@
+"""Custom stateful streaming operator: first-seen dedup suppression via
+``applyInPandasWithState``.
+
+The crawl engine's seen-set is batch-iterative (frontier rounds); this is the
+same dedup-state concept expressed as a TRUE Structured Streaming stateful
+operator — per-key state lives in the checkpointed state store, survives
+across micro-batches AND across restarts, and suppresses any value already
+emitted in an earlier batch.  This is the ``applyInPandasWithState`` shape a
+100 TB event pipeline uses for custom dedup / sessionization the built-in
+``dropDuplicates``-with-watermark cannot express (here: emit the FIRST full
+row per (key, value), not just drop later ones; arbitrary state payloads
+follow the same pattern).
+
+State schema: one array<string> of seen values per key (in production the
+per-key set is bounded by a TTL timeout — GroupStateTimeout.ProcessingTime —
+exactly like the bloom partitions' eviction story; NoTimeout here keeps the
+sandbox test deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_type string, event_id long, ts timestamp, value double"
+)
+STATE_SCHEMA = "seen array<string>"
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen: set[str] = set(state.get[0]) if state.exists else set()
+    out: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        # deterministic within-batch order (the file source hands arrival
+        # order; (ts, event_id) is the contract's total order)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for row in pdf.itertuples(index=False):
+            if row.event_type not in seen:
+                seen.add(row.event_type)
+                out.append(
+                    {
+                        "user_id": row.user_id,
+                        "event_type": row.event_type,
+                        "event_id": row.event_id,
+                        "ts": row.ts,
+                        "value": row.value,
+                    }
+                )
+    state.update((sorted(seen),))
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "event_type", "event_id", "ts", "value"],
+    )
+
+
+def first_seen_dedup_stream(events: DataFrame) -> DataFrame:
+    """events readStream -> first row per (user_id, event_type), stateful
+    across micro-batches.  Shuffle key = user_id (the state key); state store
+    I/O is per-key, never a global structure."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,82 @@
+"""applyInPandasWithState first-seen dedup: state must persist in the
+checkpointed state store ACROSS micro-batches and across restarts — a value
+emitted in run 1 is suppressed in run 2 even though the process restarted the
+query."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hdx_metadata_crawler_spark.streaming.stateful import first_seen_dedup_stream
+
+
+def _run_once(spark, src_dir: str, ckpt: str, out_dir: str):
+    # parquet sink: unlike the memory sink it SUPPORTS checkpoint recovery,
+    # which is the point of this test (state survives a query restart)
+    schema = "user_id long, event_type string, event_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        first_seen_dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).collect()
+
+
+def test_state_survives_across_runs(spark):
+    src = tempfile.mkdtemp(prefix="stateful_src_")
+    ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    out = tempfile.mkdtemp(prefix="stateful_out_")
+    try:
+        batch1 = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "event_type": ["click", "view", "click"],
+                "event_id": [10, 11, 12],
+                "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02"]),
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+        spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(src)
+        out1 = _run_once(spark, src, ckpt, out)
+        assert {(r["user_id"], r["event_type"]) for r in out1} == {
+            (1, "click"), (1, "view"), (2, "click"),
+        }
+
+        # run 2: a NEW query process, SAME checkpoint — duplicates of run-1
+        # values must be suppressed by the restored state; new values emit.
+        batch2 = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 3],
+                "event_type": ["click", "buy", "click", "view"],
+                "event_id": [20, 21, 22, 23],
+                "ts": pd.to_datetime(["2024-01-01 11:00", "2024-01-01 11:01", "2024-01-01 11:02", "2024-01-01 11:03"]),
+                "value": [4.0, 5.0, 6.0, 7.0],
+            }
+        )
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src)
+        all_rows = _run_once(spark, src, ckpt, out)
+        run1_ids = {r["event_id"] for r in out1}
+        emitted2 = {
+            (r["user_id"], r["event_type"], r["event_id"])
+            for r in all_rows
+            if r["event_id"] not in run1_ids
+        }
+        assert (1, "buy", 21) in emitted2, "new value must emit"
+        assert (3, "view", 23) in emitted2, "new key must emit"
+        assert (1, "click", 20) not in emitted2, "cross-run duplicate suppressed"
+        assert (2, "click", 22) not in emitted2, "cross-run duplicate suppressed"
+        assert len(emitted2) == 2
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
