@@ -1331,6 +1331,132 @@ def hazard_context_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v5 — reference-year extraction (11…ipynb _extract_reference_year): regex
+# (\d{4}) from dataset_date, 1900-2100 guard, fallback to last_modified,
+# else NULL.  Synthetic date fields derived from doc_id so every branch
+# (valid primary, out-of-range primary + valid fallback, both missing)
+# occurs in the corpus.
+# ---------------------------------------------------------------------------
+
+@register(
+    "reference_year_extraction",
+    """
+    WITH fields AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '20' || lpad(CAST(doc_id % 26 AS VARCHAR), 2, '0')
+                            || '-06-01'
+               WHEN 1 THEN 'updated 9999'
+               ELSE '' END AS dataset_date,
+             CASE doc_id % 3
+               WHEN 0 THEN 'mod 2019-01-02'
+               WHEN 1 THEN 'n/a'
+               ELSE '1850 vintage' END AS last_modified
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(
+             CASE WHEN CAST(coalesce(nullif(regexp_extract(dataset_date,
+                         '([0-9]{4})', 1), ''), '0') AS INTEGER)
+                       BETWEEN 1900 AND 2100
+                  THEN CAST(regexp_extract(dataset_date, '([0-9]{4})', 1)
+                            AS INTEGER) END,
+             CASE WHEN CAST(coalesce(nullif(regexp_extract(last_modified,
+                         '([0-9]{4})', 1), ''), '0') AS INTEGER)
+                       BETWEEN 1900 AND 2100
+                  THEN CAST(regexp_extract(last_modified, '([0-9]{4})', 1)
+                            AS INTEGER) END
+           ) AS reference_year
+    FROM fields
+    """,
+    doc="Reference-year extraction with range guard + field fallback chain "
+        "(11…ipynb _extract_reference_year: first 4-digit run of "
+        "dataset_date if 1900-2100, else of last_modified, else NULL). "
+        "regexp_extract + guard as column algebra; SURVEY §2.8 regex-extract "
+        "+ date families.",
+)
+def reference_year_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dataset_date = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("20"),
+                F.lpad((F.col("doc_id") % 26).cast("string"), 2, "0"),
+                F.lit("-06-01"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, "updated 9999")
+        .otherwise("")
+    )
+    last_modified = (
+        F.when(F.col("doc_id") % 3 == 0, "mod 2019-01-02")
+        .when(F.col("doc_id") % 3 == 1, "n/a")
+        .otherwise("1850 vintage")
+    )
+
+    def guarded_year(col):
+        y = F.regexp_extract(col, r"([0-9]{4})", 1)
+        yi = F.coalesce(F.nullif(y, F.lit("")), F.lit("0")).cast("int")
+        return F.when(yi.between(1900, 2100), yi)
+
+    return d.select(
+        "doc_id",
+        F.coalesce(
+            guarded_year(dataset_date), guarded_year(last_modified)
+        ).alias("reference_year"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# v5 — NB09 compound-tag expansion (09…ipynb:257 COMPOUND_HDX_TAGS: one HDX
+# tag implies MULTIPLE hazard types, e.g. cyclones-hurricanes-typhoons →
+# [cyclone, storm_surge]).  Tag detected in the document's token set →
+# explode to its implied types via a broadcast dim.
+# ---------------------------------------------------------------------------
+
+COMPOUND_TAGS: list[tuple[str, str]] = [
+    ("batch", "flood"), ("batch", "landslide"),
+    ("vector", "earthquake"), ("vector", "tsunami"),
+    ("spark", "cyclone"), ("spark", "storm_surge"), ("spark", "extreme_wind"),
+]
+
+
+@register(
+    "compound_tag_expansion",
+    f"""
+    WITH compound(tag, implied_type) AS (VALUES
+      {', '.join(f"('{t}', '{h}')" for t, h in COMPOUND_TAGS)}
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS tag
+      FROM documents
+    )
+    SELECT doc_id, tag, implied_type
+    FROM toks JOIN compound USING (tag)
+    """,
+    doc="Compound-tag → multi-hazard expansion (09…ipynb:257 "
+        "COMPOUND_HDX_TAGS): document tags joined to the exploded compound "
+        "dim (broadcast) — one row per implied hazard type. Same dim-"
+        "expansion shape as region_member_expansion, driven from text-"
+        "derived tags.",
+)
+def compound_tag_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tag")
+    )
+    compound = d.sparkSession.createDataFrame(COMPOUND_TAGS, ["tag", "implied_type"])
+    return toks.join(F.broadcast(compound), "tag").select(
+        "doc_id", "tag", "implied_type"
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 — pilot shortlist: top-N per bucket, buckets ordered by size
 # (02…ipynb:785 make_pilot_shortlist, PILOT_MAX_PER_BUCKET)
 # ---------------------------------------------------------------------------
