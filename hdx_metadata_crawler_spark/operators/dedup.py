@@ -189,27 +189,38 @@ def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: for each bit position, sum ±1 over token
-    hashes; bit = 1 iff the sum is positive.  Pure column algebra: 64
-    shiftright/bitand expressions over the exploded token hash — one shuffle.
+    hashes; bit = 1 iff the sum is positive.
+
+    SHUFFLE-FREE form: the token-hash array is materialized once (projection
+    barrier — Spark does not CSE across higher-order lambdas, see
+    minhash_signatures), then 64 ``aggregate()`` bit-sums run in the same
+    map stage.  Round 1 exploded tokens and hash-aggregated 64 sums — one
+    token-amplified Exchange that this form removes at identical local wall
+    time.  NOTE the aggregate merge lambda must take exactly (acc, elem) —
+    like transform, aggregate sniffs lambda arity, so loop variables are
+    bound via the enclosing function, not default args.
     """
-    toks = df.select(
+    base = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
-    ).withColumn("th", F.xxhash64("token"))
-    bit_sums = toks.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+        F.transform(
+            F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("_th"),
     )
+
+    def bit_sum(i: int):
+        return F.aggregate(
+            "_th",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
     sim = F.lit(0).cast("long")
     for i in range(64):
         sim = sim + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
-    return bit_sums.select("_id", sim.alias("simhash"))
+    return base.select("_id", sim.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
