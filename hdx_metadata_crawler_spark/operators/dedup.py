@@ -55,18 +55,38 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard).
 
     Plan: inverted index self-join on shingle → per-pair intersection count →
     join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|).  The self-join
     shuffles on the shingle; hot shingles are the skew risk at scale — AQE
-    skew-split handles moderate cases, stop-shingle filtering (document
-    frequency cap) is the production lever.
+    skew-split handles moderate cases, and ``max_doc_freq`` is the
+    production lever: shingles appearing in more than that many documents
+    are dropped from the JOIN side before the self-join (a shingle in k docs
+    contributes k^2/2 join rows, so one corpus-wide stop-shingle otherwise
+    dominates the whole shuffle).  Per-doc sizes keep counting ALL shingles,
+    so capping only LOWERS intersection counts: estimated jaccard becomes a
+    lower bound and near-identical pairs (which share rare shingles too)
+    still surface — the cap trades tail recall for a bounded join, exactly
+    like MinHash banding.  ``None`` (the oracle default) is exact.
     """
     idx = shingle_index(df, id_col, text_col, n)
     sizes = idx.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
     a = idx.alias("a")
     b = idx.alias("b")
     inter = (

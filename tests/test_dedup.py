@@ -123,3 +123,34 @@ def test_simhash_hamming_pairs_exact_recall(spark):
             expected[(a, b)] = h
     assert len(expected) >= 30  # the copies alone give 30 distance-0 pairs
     assert got == expected
+
+
+def test_stop_shingle_cap_bounds_join_keeps_neardups(spark):
+    """max_doc_freq drops corpus-wide hot shingles from the join side: the
+    candidate join shrinks by orders of magnitude while near-identical pairs
+    (sharing rare shingles) still surface above threshold."""
+    from pyspark.sql import functions as F
+
+    hot = "the quick brown"  # one shingle shared by EVERY doc
+    rows = [(i, f"{hot} unique{i} a b c d") for i in range(60)]
+    # two near-identical docs sharing many rare shingles
+    rows += [(100, f"{hot} same text body here now"),
+             (101, f"{hot} same text body here soon")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in pairs, "near-dup pair must survive the cap"
+    # without the shared-by-all shingle, unrelated docs share nothing
+    assert all(p == (100, 101) for p in pairs), pairs
+
+    # uncapped control: the hot shingle alone creates ~60^2/2 candidate
+    # intersections (all below threshold, but all PAID in the join)
+    idx = dedup.shingle_index(df, "doc_id", "text", 3)
+    a, b = idx.alias("a"), idx.alias("b")
+    n_uncapped = a.join(
+        b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id"))
+    ).count()
+    assert n_uncapped > 1800  # 62*61/2 from the hot shingle alone
