@@ -1457,6 +1457,129 @@ def compound_tag_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v5 — NB11 socio-economic indicator extraction (11…ipynb:395
+# SOCIOECONOMIC_INDICATORS + :1147 _extract_socio_economic): per-indicator
+# first-pattern match deduped by code at confidence 0.7; generic fallback
+# (SOCIO_VULN, 0.5) ONLY when no specific indicator fired; and the
+# single-indicator false-positive filter — one lone 'insufficient' indicator
+# (standalone density / generic) is not evidence of vulnerability and drops
+# the whole extraction.
+# ---------------------------------------------------------------------------
+
+SOCIO_INDICATORS: list[tuple[str, str, str, str]] = [
+    # (code, name, scheme, fused pattern — [\s._-]? separators like the ref)
+    ("POV_HEADCOUNT", "Poverty headcount ratio", "Custom", r"\bkey[\s._-]?value\b"),
+    ("HDI", "Human Development Index", "Custom", r"\bhash[\s._-]?merge\b|\bhdi\b"),
+    ("SVI_OVERALL", "Social Vulnerability Index", "CDC-SVI", r"\bsort[\s._-]?order\b"),
+    ("FOOD_SECURITY", "Food security classification", "Custom", r"\bgroup[\s._-]?filter\b"),
+    ("POP_DENSITY", "Population density", "Custom", r"\bcustomer[\s._-]?query\b"),
+    ("AGE_65_PLUS", "Elderly population percentage", "Custom", r"\bbig[\s._-]?small\b"),
+]
+GENERIC_SOCIO_PATTERN = r"\bvector\b"
+SINGLE_INDICATOR_INSUFFICIENT = ("POP_DENSITY", "SOCIO_VULN")
+
+
+def _socio_oracle() -> str:
+    hits = ", ".join(
+        f"regexp_matches(text, '{p}') AS h_{code}"
+        for code, _, _, p in SOCIO_INDICATORS
+    )
+    specific = ", ".join(
+        f"""CASE WHEN h_{code} THEN struct_pack(
+              indicator_code := '{code}', indicator_name := '{name}',
+              scheme := '{scheme}', confidence := CAST(0.7 AS DOUBLE)) END"""
+        for code, name, scheme, _ in SOCIO_INDICATORS
+    )
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, {hits},
+             regexp_matches(text, '{GENERIC_SOCIO_PATTERN}') AS h_generic
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter([{specific}], x -> x IS NOT NULL)) > 0
+                  THEN list_filter([{specific}], x -> x IS NOT NULL)
+                  WHEN h_generic THEN [struct_pack(
+                    indicator_code := 'SOCIO_VULN',
+                    indicator_name := 'Socio-economic vulnerability indicator',
+                    scheme := 'Custom', confidence := CAST(0.5 AS DOUBLE))]
+                  ELSE [] END AS inds
+      FROM hits
+    )
+    SELECT doc_id, i.indicator_code AS indicator_code,
+           i.indicator_name AS indicator_name, i.scheme AS scheme,
+           i.confidence AS confidence
+    FROM (
+      SELECT doc_id, unnest(inds) AS i
+      FROM built
+      WHERE NOT (len(inds) = 1
+                 AND inds[1].indicator_code IN {str(SINGLE_INDICATOR_INSUFFICIENT)})
+    )
+    """
+
+
+@register(
+    "socioeconomic_indicators",
+    _socio_oracle(),
+    doc="Socio-economic indicator extraction (11…ipynb:395 + :1147): "
+        "code-deduped specific indicators at 0.7, SOCIO_VULN generic "
+        "fallback at 0.5 only when nothing specific fired, and the "
+        "single-insufficient-indicator drop filter. One scan, one explode, "
+        "no shuffle.",
+)
+def socioeconomic_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    specific = F.filter(
+        F.array(*[
+            F.when(
+                F.col("text").rlike(p),
+                F.struct(
+                    F.lit(code).alias("indicator_code"),
+                    F.lit(name).alias("indicator_name"),
+                    F.lit(scheme).alias("scheme"),
+                    F.lit(0.7).alias("confidence"),
+                ),
+            )
+            for code, name, scheme, p in SOCIO_INDICATORS
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    generic = F.array(
+        F.struct(
+            F.lit("SOCIO_VULN").alias("indicator_code"),
+            F.lit("Socio-economic vulnerability indicator").alias("indicator_name"),
+            F.lit("Custom").alias("scheme"),
+            F.lit(0.5).alias("confidence"),
+        )
+    )
+    empty = F.array().cast(
+        "array<struct<indicator_code:string,indicator_name:string,"
+        "scheme:string,confidence:double>>"
+    )
+    inds = (
+        F.when(F.size(specific) > 0, specific)
+        .when(F.col("text").rlike(GENERIC_SOCIO_PATTERN), generic)
+        .otherwise(empty)
+    )
+    kept = d.select("doc_id", inds.alias("inds")).filter(
+        ~(
+            (F.size("inds") == 1)
+            & F.element_at("inds", 1)["indicator_code"].isin(
+                *SINGLE_INDICATOR_INSUFFICIENT
+            )
+        )
+    )
+    return kept.select("doc_id", F.explode("inds").alias("i")).select(
+        "doc_id",
+        F.col("i.indicator_code").alias("indicator_code"),
+        F.col("i.indicator_name").alias("indicator_name"),
+        F.col("i.scheme").alias("scheme"),
+        F.col("i.confidence").alias("confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 — pilot shortlist: top-N per bucket, buckets ordered by size
 # (02…ipynb:785 make_pilot_shortlist, PILOT_MAX_PER_BUCKET)
 # ---------------------------------------------------------------------------
