@@ -63,6 +63,24 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf",
+    None,  # approximate + iterative (k-means) — recall asserted in tests/
+    doc="ANN top-3 via IVF: deterministic Lloyd k-means coarse quantizer "
+        "(16 cells, 4 distributed passes — per-pass Arrow argmin vs the "
+        "broadcast centroid block + one per-cell aggregate), corpus "
+        "partitioned by cell, queries probe their 4 nearest cells, exact "
+        "cosine only within probed cells. The second scale path beside "
+        "knn_lsh: candidates ~ n_probe/n_cells of the corpus per query. "
+        "Rows-only driver check; recall floor vs brute force asserted in "
+        "tests/test_similarity.py.",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.knn_ivf(e, q, dim=64, k=3, n_cells=16, n_probe=4)
+
+
+@register(
     "label_centroid_stats",
     """
     SELECT label,

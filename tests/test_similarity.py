@@ -94,3 +94,31 @@ def test_lsh_bucket_deterministic(spark):
         }
 
     assert buckets() == buckets()
+
+
+def test_ivf_recall_floor(spark):
+    """IVF (16 cells, probe 4) with exact re-rank must recover >=50% of true
+    top-3 neighbors on sf0.01 — same floor as the LSH path."""
+    e = spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(e, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_ivf(e, q, dim=64, k=3, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall={recall}"
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    c1 = similarity.kmeans_centroids(e, dim=64, k=8, iters=2)
+    c2 = similarity.kmeans_centroids(e, dim=64, k=8, iters=2)
+    assert np.array_equal(c1, c2)
