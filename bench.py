@@ -49,6 +49,7 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "canonicalize_urls",
     "frontier_seen_antijoin",
     "politeness_schedule",
