@@ -319,3 +319,44 @@ def test_bloom_rebuild_keeps_fp_bounded(spark):
         pos = bloom._probe_positions(part.view(np.uint64), r["m"])
         fp += int(bits[pos].all(axis=1).sum())
     assert fp / max(len(probes), 1) < 0.05
+
+
+def test_bloom_chained_merges_grow_and_stay_exact(spark):
+    """Long-crawl shape: repeated merges across rounds grow the bitsets
+    geometrically (rebuild path) while the composite anti-join stays exactly
+    equal to the plain anti-join at every step."""
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame(
+        [(u,) for u in synthetic.seed_urls(8000)], ["canon_url"]
+    ).select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
+
+    seen = urls.filter(F.col("url_hash") % 16 == 0)
+    blooms = bloom.build_blooms(seen, n_partitions=4)
+    m0 = {r["partition_id"]: r["m"] for r in blooms.collect()}
+
+    for step in range(1, 4):  # 3 rounds of ~2x growth each
+        additions = urls.filter(F.col("url_hash") % 16 == step)
+        seen = seen.unionByName(additions)
+        blooms = bloom.merge_blooms(
+            blooms, additions, n_partitions=4, seen=seen
+        )
+        rows = blooms.collect()
+        for r in rows:
+            assert r["m"] >= bloom.MIN_BITS_PER_KEY * r["n_keys"], (
+                "load must never exceed MIN_BITS_PER_KEY after a merge"
+            )
+        got = {
+            r["canon_url"]
+            for r in bloom.bloom_anti_join(urls, seen, blooms, n_partitions=4).collect()
+        }
+        expected = {
+            r["canon_url"]
+            for r in urls.join(seen.select("url_hash"), "url_hash", "left_anti").collect()
+        }
+        assert got == expected, f"step {step}"
+
+    m_final = {r["partition_id"]: r["m"] for r in blooms.collect()}
+    assert any(m_final[p] > m0.get(p, 0) for p in m_final), (
+        "at least one partition must have been rebuilt larger over 4x growth"
+    )
