@@ -490,10 +490,15 @@ class CrawlEngine:
                 allowed, cfg.rps, cfg.politeness_salts, host_rps
             )
 
-            # 4. fetch over salted host-hash partitions (skew-broken)
+            # 4. fetch over salted host-hash partitions (skew-broken).
+            # Partition count adapts to the page: retry-tail rounds with a
+            # handful of URLs would otherwise spin up cfg.fetch_partitions
+            # Python workers for nothing (~2.5 s fixed cost per near-empty
+            # round, measured); n_page is already known from the page count.
+            n_fetch = max(1, min(cfg.fetch_partitions, (n_page + 63) // 64))
             fetched = (
                 scheduled.repartition(
-                    cfg.fetch_partitions,
+                    n_fetch,
                     F.xxhash64("host", F.pmod("url_hash", F.lit(cfg.host_salt))),
                 )
                 .mapInPandas(_fetch_batches, _FETCH_SCHEMA)
