@@ -119,18 +119,22 @@ def _full_oracle() -> str:
     tw_vals = ", ".join(f"('{c}', '{t}', {w})" for c, t, w in TAG_WEIGHTS)
     oh_vals = ", ".join(f"('{s}', '{c}', {w})" for s, c, w in ORG_HINTS)
     excl = _oracle_hits(EXCLUSION_PATTERNS)
+    # CAST(sum() AS BIGINT): DuckDB integer sums are HUGEINT, and the driver
+    # hashes types — the exact class of the round-1 tier_matrix red row.
     score_exprs = ",\n         ".join(
-        f"greatest(0, coalesce(t.tag_{c}, 0)"
+        f"CAST(greatest(0, coalesce(t.tag_{c}, 0)"
         f" + 2 * ({_oracle_hits(COMPONENT_PATTERNS[c])})"
-        f" + coalesce(o.org_{c}, 0) - 3 * ({excl})) AS score_{c}"
+        f" + coalesce(o.org_{c}, 0) - 3 * ({excl})) AS BIGINT) AS score_{c}"
         for c in _COMPONENTS
     )
     tag_aggs = ", ".join(
-        f"sum(CASE WHEN component = '{c}' THEN weight ELSE 0 END) AS tag_{c}"
+        f"CAST(sum(CASE WHEN component = '{c}' THEN weight ELSE 0 END) AS BIGINT)"
+        f" AS tag_{c}"
         for c in _COMPONENTS
     )
     org_aggs = ", ".join(
-        f"sum(CASE WHEN h.component = '{c}' THEN h.weight ELSE 0 END) AS org_{c}"
+        f"CAST(sum(CASE WHEN h.component = '{c}' THEN h.weight ELSE 0 END) AS BIGINT)"
+        f" AS org_{c}"
         for c in _COMPONENTS
     )
     comp_cases = ", ".join(
@@ -304,7 +308,7 @@ def classify_documents_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(2) * keyword_hit_count(text, COMPONENT_PATTERNS[c])
             + org_score(c)
             - F.lit(3) * excl,
-        )
+        ).cast("long")  # same output type as the join-based variant + oracle
         for c in _COMPONENTS
     }
     scored = d.select("doc_id", *[scores[c].alias(f"score_{c}") for c in _COMPONENTS])
