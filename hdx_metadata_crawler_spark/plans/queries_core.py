@@ -100,24 +100,37 @@ def org_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*)                                              AS n_events,
            round(sum(value), 2)                                  AS sum_value,
-           round(avg(value), 4)                                  AS avg_value
+           (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 200
+              + count(*)) // (2 * count(*)) / 10000.0            AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
     doc="Tumbling processing-time window aggregate (SURVEY §2.9; batch analogue "
-        "of the streaming hourly rollup).",
+        "of the streaming hourly rollup). avg at 4dp is computed ENTIRELY in "
+        "integer space — sum of exact centi-units, half-up integer division "
+        "to 1e-4 units, then one double division: plain round(avg(double),4) "
+        "hits exact .00005 halves on this data (2dp values / small counts) "
+        "and Spark and DuckDB rounded them in opposite directions at sf0.1. "
+        "Integer sums are associative and the final double is bit-identical "
+        "in both engines.",
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = F.sum(cents)
+    n = F.count("*")
+    x = s * 200 + n  # half-up: (s*200 + n) div (2n), all exact longs
+    d = n * 2
+    avg_units = (x - F.pmod(x, d)) / d  # exact integer-valued double
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
         )
         .agg(
-            F.count("*").alias("n_events"),
+            n.alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (avg_units / F.lit(10000.0)).alias("avg_value"),
         )
     )
 
