@@ -105,12 +105,16 @@ _STATE_TABLES = ("frontier", "seen", "manifest", "errors", "documents")
 # checkpoint cost is O(round output), not O(total crawl history).  blooms is
 # the incrementally-maintained seen-set filter (bloom.merge_blooms): O(16
 # bitsets) to snapshot, O(round additions) to update — never rebuilt from
-# the full seen set.
-_MUTABLE_TABLES = ("frontier", "seen", "blooms")
+# the full seen set.  `seen` is append-only too (round 2): URLs are only
+# ever ADDED, so each round writes just the newly-finalized slice — the
+# round-1 full-seen rewrite was the one checkpoint cost that grew with
+# crawl history (O(10^10) per round at the design point).
+_MUTABLE_TABLES = ("frontier", "blooms")
 _MUTABLE_SCHEMAS = {"blooms": bloom.BLOOM_DDL}
-_APPEND_TABLES = ("manifest", "errors", "documents")
+_APPEND_TABLES = ("seen", "manifest", "errors", "documents")
 
 _APPEND_SCHEMAS = {
+    "seen": "url_hash long, canon_url string",
     "manifest": (
         "round int, rank int, canon_url string, dataset_id string, "
         "title string, host string, time_slot long, attempt int"
@@ -592,10 +596,13 @@ class CrawlEngine:
 
             new_mutable = {
                 "frontier": frontier_next,
-                "seen": seen_next,
                 "blooms": blooms_next,
             }
             deltas = {
+                # seen is append-only: persist ONLY this round's finalized
+                # URLs; _read_state unions the per-round deltas back into
+                # the full seen set (write cost O(round), not O(history)).
+                "seen": finalized.dropDuplicates(["url_hash"]),
                 "manifest": manifest_new,
                 "errors": errors_new,
                 "documents": docs_new,
