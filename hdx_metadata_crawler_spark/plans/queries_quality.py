@@ -174,6 +174,87 @@ def validate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NB13 HEVL completeness introspection (13…ipynb:758 check_hevl_completeness):
+# parse each produced RDLS JSON record and report block presence/structure —
+# declared component count, event-set/event counts, return-period presence.
+# The engine side uses real JSON parsing (from_json + nested array ops) over
+# the records the assembly query emits; the oracle introspects the identical
+# JSON with DuckDB's json functions.
+
+@register(
+    "hevl_completeness",
+    """
+    WITH rps AS (
+      SELECT event_id,
+             list_sort(list_distinct(
+               list_filter(
+                 list_transform(regexp_extract_all(
+                   'flood hazard ' || CAST(user_id * 5 AS VARCHAR)
+                     || '-year return period, sensor 2021 and '
+                     || CAST(user_id * 10 AS VARCHAR) || ' year event',
+                   '[0-9]+'), x -> CAST(x AS INTEGER)),
+                 rp -> rp > 0 AND NOT (rp BETWEEN 2000 AND 2099)))) AS rp_list
+      FROM events WHERE event_id < 1000
+    ),
+    recs AS (
+      SELECT event_id,
+             to_json(struct_pack(
+               id := 'rdls_hzd-' || CAST(event_id AS VARCHAR),
+               risk_data_type := ['hazard'],
+               event_sets := [struct_pack(
+                 id := 'event_set_' || CAST(event_id AS VARCHAR) || '_0',
+                 events := list_transform(rp_list, rp -> struct_pack(
+                   id := 'event_' || CAST(event_id AS VARCHAR) || '_'
+                         || CAST(rp AS VARCHAR),
+                   return_period := rp,
+                   rate_ppm := CAST(round(1000000.0 / rp) AS BIGINT))))]
+             )) AS record_json
+      FROM rps WHERE len(rp_list) > 0
+    )
+    SELECT event_id,
+           (json_array_length(record_json, '$.event_sets') > 0) AS has_hazard,
+           CAST(json_array_length(record_json, '$.risk_data_type') AS INT)
+             AS declared_component_count,
+           CAST(json_array_length(record_json, '$.event_sets') AS INT)
+             AS hazard_event_sets,
+           CAST(json_array_length(record_json, '$.event_sets[0].events') AS INT)
+             AS hazard_events_count,
+           (json_array_length(record_json, '$.event_sets[0].events') > 0)
+             AS hazard_has_return_periods
+    FROM recs
+    """,
+    doc="HEVL completeness introspection (SURVEY §5 oracle 2; 13…ipynb:758 "
+        "check_hevl_completeness): block presence, declared-vs-actual "
+        "component counts, event-set/event cardinalities, return-period "
+        "presence — real JSON parsing (from_json into the typed record "
+        "schema + nested array ops) over the records the assembly query "
+        "produces, vs DuckDB json-path introspection of identical JSON.",
+)
+def hevl_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_extractors import rdls_record_assembly
+
+    recs = rdls_record_assembly(spark, sf_dir)
+    schema = (
+        "id string, risk_data_type array<string>, "
+        "event_sets array<struct<id:string, events:array<struct<"
+        "id:string, return_period:int, rate_ppm:bigint>>>>"
+    )
+    parsed = recs.select(
+        "event_id", F.from_json("record_json", schema).alias("r")
+    )
+    events0 = F.col("r.event_sets")[0]["events"]
+    return parsed.select(
+        "event_id",
+        (F.size("r.event_sets") > 0).alias("has_hazard"),
+        F.size("r.risk_data_type").alias("declared_component_count"),
+        F.size("r.event_sets").alias("hazard_event_sets"),
+        F.size(events0).alias("hazard_events_count"),
+        F.exists(events0, lambda e: e["return_period"].isNotNull()).alias(
+            "hazard_has_return_periods"
+        ),
+    )
+
+
 # Draft2020-12 jsonschema validation (SURVEY §2.10 #5; 06…ipynb:1701,
 # 13…ipynb:523+1129).  Records are RDLS-style hazard assemblies with two
 # deterministic fault classes injected so both the valid and the invalid
