@@ -64,7 +64,7 @@ def two_phase_rank(
         offsets[pid] = acc
         acc += cnt
     if not offsets:  # empty frame: schema-compatible empty result
-        return df.withColumn(rank_col, F.lit(0).cast("int"))
+        return df.withColumn(rank_col, F.lit(0).cast("long"))
     offset_map = F.create_map(
         *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
     )
@@ -73,7 +73,10 @@ def two_phase_rank(
         ranged.withColumn("_rn", F.row_number().over(w_local))
         .withColumn(
             rank_col,
-            (F.col("_rn") + F.element_at(offset_map, F.col("_pid"))).cast("int"),
+            # long, not int: offsets exceed 2^31 exactly in the >2B-row
+            # regime this operator exists for; callers with bounded inputs
+            # (e.g. the crawl manifest, bounded by page_size) cast down.
+            (F.col("_rn") + F.element_at(offset_map, F.col("_pid"))).cast("long"),
         )
         .drop("_pid", "_rn")
     )

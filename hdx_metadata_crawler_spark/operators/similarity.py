@@ -88,9 +88,22 @@ def knn_bruteforce(
 
 
 def _plane_component(p: int, j: int) -> float:
-    # Deterministic plane from a small LCG (stdlib-only, fixed seed).
-    x = (1103515245 * (p * 1024 + j + 12345) + 12345) % (2**31)
+    # Deterministic plane from a small LCG (stdlib-only, fixed seed).  The
+    # plane stride is a prime far above any realistic embedding dim: the
+    # previous `p * 1024 + j` seed collided for dim > 1024, making adjacent
+    # planes shifted copies of each other (correlated AND-buckets, silently
+    # degraded recall).
+    x = (1103515245 * (p * 1048573 + j + 12345) + 12345) % (2**31)
     return (x % 2001 - 1000) / 1000.0
+
+
+def _safe_normalize(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize; all-zero rows keep norm 1 so they produce cosine 0
+    against everything (excluded by any positive threshold, deterministic
+    argmax 0 in cell assignment) instead of NaNs that silently drop pairs
+    or poison k-means centroids."""
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n == 0, 1.0, n)
 
 
 def _plane_matrix(dim: int, n_planes: int, plane_offset: int = 0) -> np.ndarray:
@@ -168,8 +181,6 @@ def cosine_pairs_block(
     (``knn_lsh`` buckets) bounds the candidate set first and this kernel
     runs within buckets.
     """
-    import pandas as pd  # noqa: F811 — local so pickling the closure is cheap
-
     out_schema = StructType(
         [
             StructField("id_a", LongType()),
@@ -207,8 +218,8 @@ def cosine_pairs_block(
             if b is a
             else np.stack([np.asarray(v, dtype=np.float64) for v in b["_vec"]])
         )
-        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
-        mb = mb if b is a else mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        ma = _safe_normalize(ma)
+        mb = mb if b is a else _safe_normalize(mb)
         sims = ma @ mb.T
         ids_a = a["_id"].to_numpy(dtype=np.int64)
         ids_b = b["_id"].to_numpy(dtype=np.int64)
@@ -259,27 +270,44 @@ def kmeans_centroids(
         [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]
     )
     base = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    part_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("n", LongType()),
+            StructField("sums", ArrayType(DoubleType())),
+        ]
+    )
     for _ in range(iters):
-        assigned = base.select(
-            F.col("v"), _assign_cell(F.col("v"), centroids).alias("cell")
-        )
-        stats = (
-            assigned.select(
-                "cell",
-                *[F.element_at("v", j + 1).alias(f"x{j}") for j in range(dim)],
-            )
-            .groupBy("cell")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(f"x{j}").alias(f"s{j}") for j in range(dim)],
-            )
-            .collect()
-        )
+        cn = _safe_normalize(centroids)
+
+        # One Arrow pass per iteration: assign + per-cell partial sums with
+        # numpy inside the batch.  (Expressing the per-dim sums as dim
+        # element_at/sum Catalyst columns is exactly the wide-literal
+        # expression shape that blows whole-stage codegen's 64 KB method
+        # limit at realistic dims — see lsh_buckets' docstring.)  Partials
+        # are <= tasks x k tiny rows; the k x dim reduce happens driver-side.
+        def partials(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                cells = (_safe_normalize(mat) @ cn.T).argmax(axis=1)
+                out_cells, out_n, out_sums = [], [], []
+                for c in np.unique(cells):
+                    mask = cells == c
+                    out_cells.append(int(c))
+                    out_n.append(int(mask.sum()))
+                    out_sums.append(mat[mask].sum(axis=0))
+                yield pd.DataFrame({"cell": out_cells, "n": out_n, "sums": out_sums})
+
+        rows = base.mapInPandas(partials, part_schema).collect()
         new = centroids.copy()  # empty cells keep their previous centroid
-        for r in stats:
-            new[r["cell"]] = np.array(
-                [r[f"s{j}"] / r["n"] for j in range(dim)], dtype=np.float64
-            )
+        totals: dict[int, tuple[int, np.ndarray]] = {}
+        for r in rows:
+            n0, s0 = totals.get(r["cell"], (0, np.zeros(dim)))
+            totals[r["cell"]] = (n0 + r["n"], s0 + np.asarray(r["sums"]))
+        for c, (n, s) in totals.items():
+            new[c] = s / n
         centroids = new
     return centroids
 
@@ -288,7 +316,7 @@ def _assign_cell(vec_col: Column, centroids: np.ndarray, n_probe: int = 1) -> Co
     """Arrow-batched nearest-centroid assignment (cosine): one GEMM per
     batch against the broadcast centroid block.  n_probe > 1 returns the
     n_probe nearest cells (for the query side of IVF search)."""
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = _safe_normalize(centroids)
 
     if n_probe == 1:
         @pandas_udf(LongType())
@@ -296,7 +324,7 @@ def _assign_cell(vec_col: Column, centroids: np.ndarray, n_probe: int = 1) -> Co
             if len(vs) == 0:
                 return pd.Series([], dtype="int64")
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _safe_normalize(mat)
             return pd.Series((mat @ cn.T).argmax(axis=1))
 
         return _one(vec_col)
@@ -306,7 +334,7 @@ def _assign_cell(vec_col: Column, centroids: np.ndarray, n_probe: int = 1) -> Co
         if len(vs) == 0:
             return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _safe_normalize(mat)
         sims = mat @ cn.T
         top = np.argsort(-sims, axis=1)[:, :n_probe]
         return pd.Series(list(top.astype(np.int64)))
@@ -348,10 +376,13 @@ def knn_ivf(
         "query_id", "qv",
         F.explode(_assign_cell(F.col("qv"), centroids, n_probe=n_probe)).alias("cell"),
     )
+    # no dropDuplicates: a corpus row lives in exactly ONE cell and the
+    # probe list holds distinct cells, so a (query, neighbor) pair joins at
+    # most once — the dedup was a pure extra shuffle of both vector payloads
+    # (unlike knn_lsh, where multi-table collisions make it necessary).
     scored = (
         qb.join(cb, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

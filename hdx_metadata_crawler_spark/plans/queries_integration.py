@@ -190,6 +190,10 @@ def _oracle() -> str:
 
     note = (HDX_PROVENANCE_NOTE + " [Original dataset: "
             "https://data.humdata.org/dataset/").replace("'", "''")
+    # Thread the REQUIRE_HE_FOR_VL toggle into the oracle exactly as the
+    # Spark ladder does (`& F.lit(REQUIRE_HE_FOR_VL)`) — otherwise flipping
+    # the module constant would silently desynchronize the two engines.
+    guard = "TRUE" if REQUIRE_HE_FOR_VL else "FALSE"
     return f"""
     WITH base AS (
       SELECT doc_id,
@@ -204,11 +208,11 @@ def _oracle() -> str:
       SELECT *,
         CASE
           WHEN declared_types = '' THEN 'no_hevl_signals'
-          WHEN {vl_invalid(flag)} THEN
+          WHEN {vl_invalid(flag)} AND {guard} THEN
             'standalone_vl_invalid(' || replace(declared_types, ',', '+') || ')'
           WHEN NOT has_base THEN 'no_nb06_record'
           WHEN actual_types = '' THEN 'no_actual_hevl_blocks'
-          WHEN {vl_invalid(actual)} THEN
+          WHEN {vl_invalid(actual)} AND {guard} THEN
             'reconciled_standalone_vl_invalid(' || replace(actual_types, ',', '+') || ')'
           ELSE 'ok'
         END AS status,

@@ -51,12 +51,28 @@ MIN_BITS_PER_KEY = 10
 _BLOOM_SCHEMA = StructType(
     [
         StructField("partition_id", IntegerType()),
+        StructField("n_partitions", IntegerType()),
         StructField("m", LongType()),
         StructField("n_keys", LongType()),
         StructField("bitset", BinaryType()),
     ]
 )
-BLOOM_DDL = "partition_id int, m long, n_keys long, bitset binary"
+BLOOM_DDL = "partition_id int, n_partitions int, m long, n_keys long, bitset binary"
+
+
+def _check_partitioning(rows, n_partitions: int, where: str) -> None:
+    """The partition count is a cross-call invariant: probing or merging
+    with a different P than the table was built with would hash keys to
+    partition ids absent from the table, and absent partitions probe as
+    definitely-unseen — SILENT false negatives.  Every row carries the
+    build-time P so the mismatch is an error instead."""
+    for r in rows:
+        if r["n_partitions"] != n_partitions:
+            raise ValueError(
+                f"{where}: blooms were built with n_partitions="
+                f"{r['n_partitions']} but called with {n_partitions} — "
+                "seen-set keys would silently bypass the filter"
+            )
 
 
 def _sized_m(n_keys: int) -> int:
@@ -95,6 +111,7 @@ def build_blooms(
         return pd.DataFrame(
             {
                 "partition_id": [key[0]],
+                "n_partitions": [n_partitions],
                 "m": [m],
                 "n_keys": [len(pdf)],
                 "bitset": [np.packbits(bits).tobytes()],
@@ -138,10 +155,9 @@ def merge_blooms(
     add = additions.withColumn(
         "partition_id", F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int")
     )
-    old_meta = {
-        r["partition_id"]: (r["m"], r["n_keys"])
-        for r in old.select("partition_id", "m", "n_keys").collect()
-    }
+    old_rows = old.select("partition_id", "n_partitions", "m", "n_keys").collect()
+    _check_partitioning(old_rows, n_partitions, "merge_blooms")
+    old_meta = {r["partition_id"]: (r["m"], r["n_keys"]) for r in old_rows}
     add_counts = {
         r["partition_id"]: r["cnt"]
         for r in add.groupBy("partition_id").agg(F.count("*").alias("cnt")).collect()
@@ -159,7 +175,7 @@ def merge_blooms(
 
     def insert_or_build(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if right.empty:  # no additions: pass the old bloom row through
-            return left[["partition_id", "m", "n_keys", "bitset"]]
+            return left[["partition_id", "n_partitions", "m", "n_keys", "bitset"]]
         hashes = right[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
         if left.empty:  # brand-new partition: fresh sized build
             m = _sized_m(len(right))
@@ -174,6 +190,7 @@ def merge_blooms(
         return pd.DataFrame(
             {
                 "partition_id": [key[0]],
+                "n_partitions": [n_partitions],
                 "m": [m],
                 "n_keys": [n_keys],
                 "bitset": [np.packbits(bits).tobytes()],
@@ -222,6 +239,7 @@ def bloom_anti_join(
     """
     spark = candidates.sparkSession
     bloom_rows = blooms.collect()
+    _check_partitioning(bloom_rows, n_partitions, "bloom_anti_join")
     bloom_map = {
         r["partition_id"]: (r["m"], np.unpackbits(np.frombuffer(r["bitset"], dtype=np.uint8)))
         for r in bloom_rows

@@ -529,7 +529,10 @@ class CrawlEngine:
                 ["priority", "canon_url"],
                 num_partitions=max(2, cfg.fetch_partitions // 4),
             ).select(
-                "round", "rank", "canon_url", "dataset_id", "title", "host",
+                "round",
+                # bounded by page_size — safe to narrow the operator's long
+                F.col("rank").cast("int").alias("rank"),
+                "canon_url", "dataset_id", "title", "host",
                 "time_slot", "attempt",
             )
 

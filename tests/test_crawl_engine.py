@@ -360,3 +360,19 @@ def test_bloom_chained_merges_grow_and_stay_exact(spark):
     assert any(m_final[p] > m0.get(p, 0) for p in m_final), (
         "at least one partition must have been rebuilt larger over 4x growth"
     )
+
+
+def test_bloom_partition_count_mismatch_refuses(spark):
+    """Probing/merging with a different n_partitions than the table was
+    built with would silently bypass the filter for absent partitions —
+    it must raise instead (code-review finding: cross-call invariant)."""
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame(
+        [(u,) for u in synthetic.seed_urls(200)], ["canon_url"]
+    ).select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
+    blooms = bloom.build_blooms(urls, n_partitions=8)
+    with pytest.raises(ValueError, match="n_partitions"):
+        bloom.bloom_anti_join(urls, urls, blooms, n_partitions=16)
+    with pytest.raises(ValueError, match="n_partitions"):
+        bloom.merge_blooms(blooms, urls, n_partitions=4)
