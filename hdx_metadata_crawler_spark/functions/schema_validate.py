@@ -91,7 +91,9 @@ _REQUIRED_RE = re.compile(r"'([^']+)' is a required property")
 def summarize_errors(errors: list[str]) -> str:
     """Categorize validator messages — same buckets and format as the
     reference's ``13…ipynb:1129 _summarize_errors`` (missing/enum/type/anyOf/
-    other, sorted, capped at 3 paths per bucket, '; '-joined)."""
+    other, sorted, '; '-joined; enum/type/anyOf paths capped at 3, while
+    missing_field deliberately lists EVERY field — the reference applies no
+    cap there either)."""
     if not errors:
         return ""
     cats: dict[str, list[str]] = {

@@ -84,18 +84,36 @@ N_PATTERNS = sum(
 )
 
 # Constructs that do NOT survive all three engines (Python re / Java / RE2):
-# backreferences and lookaround are absent from RE2; possessive quantifiers
-# and \G are Java-only.  Patterns using them fall back to the pandas-UDF
-# evaluator instead of rlike.
-_UNSAFE = re.compile(r"\\[0-9]|\(\?=|\(\?!|\(\?<|[*+?]\+|\\G")
+# numeric AND named backreferences and lookaround are absent from RE2;
+# possessive quantifiers, atomic groups, and \G are Java-only; Python-only
+# group syntax ((?P<..>, (?P=..)) parses nowhere else.  Patterns using them
+# fall back to the pandas-UDF evaluator instead of rlike.
+_UNSAFE = re.compile(
+    r"\\[0-9]"          # numeric backreference
+    r"|\(\?=|\(\?!"     # lookahead
+    r"|\(\?<"           # lookbehind AND Java-style named groups
+    r"|\(\?P[<=]"       # Python named group / named backreference
+    r"|\(\?>"           # atomic group (Java-only)
+    r"|[*+?]\+"         # possessive quantifier (Java-only)
+    r"|\\G"             # anchor (Java-only)
+)
 
-_LEADING_FLAG = re.compile(r"^\(\?([aiLmsux]+)\)")
+# Inline flags safe in ALL three dialects: i (case), m (multiline), s
+# (dotall).  Python-only flags (a, L, u, x) must NOT be translated to the
+# scoped form — RE2/Java reject or reinterpret them.
+_LEADING_FLAG = re.compile(r"^\(\?([ims]+)\)")
+_ANY_LEADING_FLAG = re.compile(r"^\(\?([a-zA-Z]+)\)")
 
 
 def is_common_dialect(pattern: str) -> bool:
     """True when the pattern parses and matches identically in Python re,
     Java (Spark rlike), and RE2 (the DuckDB oracle)."""
-    return _UNSAFE.search(pattern) is None
+    if _UNSAFE.search(pattern) is not None:
+        return False
+    m = _ANY_LEADING_FLAG.match(pattern)
+    if m and not set(m.group(1)) <= set("ims"):
+        return False  # Python-only flag (a/L/u/x): no cross-dialect form
+    return True
 
 
 def translate_pattern(pattern: str) -> str:

@@ -144,11 +144,26 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature; docs sharing any band
     bucket are candidate pairs.  Shuffle key = (band, band_hash) — constant
-    fan-out per doc, never all-pairs.  Returns distinct (id_a < id_b)."""
+    fan-out per doc, never all-pairs.  Returns distinct (id_a < id_b).
+
+    Pass ``num_hashes`` (the signature length) so the banding arity is
+    validated statically; without it, one cheap probe row is read.  A
+    mismatch must not pass silently: out-of-range element_at slots either
+    throw under ANSI mode or (ANSI off) hash the identical '' for every
+    doc, quietly turning the bucket join all-pairs.
+    """
+    if num_hashes is None:
+        first = sig.select(F.size("signature")).first()
+        num_hashes = first[0] if first is not None else bands * rows_per_band
+    assert bands * rows_per_band <= num_hashes, (
+        f"bands({bands}) x rows_per_band({rows_per_band}) exceeds the "
+        f"signature length ({num_hashes})"
+    )
     banded = sig.select(
         "_id",
         F.explode(

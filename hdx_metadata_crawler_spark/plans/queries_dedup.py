@@ -79,7 +79,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=32)
     sig = sig.cache()
-    pairs = dedup.minhash_lsh_candidates(sig, bands=8, rows_per_band=4)
+    pairs = dedup.minhash_lsh_candidates(sig, bands=8, rows_per_band=4, num_hashes=32)
     return dedup.minhash_jaccard_estimate(sig, pairs)
 
 

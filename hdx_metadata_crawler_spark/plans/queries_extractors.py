@@ -257,6 +257,31 @@ def sanitize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  event_set_{uuid8}_{i} — 09…ipynb:402 build_hazard_block)
 # ---------------------------------------------------------------------------
 
+
+def _rp_list() -> "F.Column":
+    """Shared return-period extraction expression (09…ipynb RP_PATTERNS +
+    year-guard): synthetic rp_text from user_id, extract all integer runs,
+    keep rp > 0 outside the 2000-2099 year window, distinct + sorted.  ONE
+    definition for both the per-event query and the record assembly so the
+    guard cannot drift between the two surfaces."""
+    rp_text = F.concat(
+        F.lit("flood hazard "), (F.col("user_id") * 5).cast("string"),
+        F.lit("-year return period, sensor 2021 and "),
+        (F.col("user_id") * 10).cast("string"), F.lit(" year event"),
+    )
+    return F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.regexp_extract_all(rp_text, F.lit("[0-9]+"), 0),
+                    lambda x: x.cast("int"),
+                ),
+                lambda rp: (rp > 0) & ~rp.between(2000, 2099),
+            )
+        )
+    )
+
+
 @register(
     "return_period_events",
     """
@@ -291,22 +316,7 @@ def sanitize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def return_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    rp_text = F.concat(
-        F.lit("flood hazard "), (F.col("user_id") * 5).cast("string"),
-        F.lit("-year return period, sensor 2021 and "),
-        (F.col("user_id") * 10).cast("string"), F.lit(" year event"),
-    )
-    rp_list = F.array_sort(
-        F.array_distinct(
-            F.filter(
-                F.transform(
-                    F.regexp_extract_all(rp_text, F.lit("[0-9]+"), 0),
-                    lambda x: x.cast("int"),
-                ),
-                lambda rp: (rp > 0) & ~rp.between(2000, 2099),
-            )
-        )
-    )
+    rp_list = _rp_list()
     return (
         ev.select("event_id", rp_list.alias("rp_list"))
         .filter(F.size("rp_list") > 0)
@@ -362,22 +372,7 @@ def return_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rdls_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
-    rp_text = F.concat(
-        F.lit("flood hazard "), (F.col("user_id") * 5).cast("string"),
-        F.lit("-year return period, sensor 2021 and "),
-        (F.col("user_id") * 10).cast("string"), F.lit(" year event"),
-    )
-    rp_list = F.array_sort(
-        F.array_distinct(
-            F.filter(
-                F.transform(
-                    F.regexp_extract_all(rp_text, F.lit("[0-9]+"), 0),
-                    lambda x: x.cast("int"),
-                ),
-                lambda rp: (rp > 0) & ~rp.between(2000, 2099),
-            )
-        )
-    )
+    rp_list = _rp_list()
     eid = F.col("event_id").cast("string")
     record = F.struct(
         F.concat(F.lit("rdls_hzd-"), eid).alias("id"),
@@ -662,8 +657,18 @@ def _metric_inference_oracle() -> str:
 )
 def exposure_metric_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    dim_hit = {n: F.col("text").rlike(p) for n, p in DIMENSION_PATTERNS}
-    qty_hit = {n: F.col("text").rlike(p) for n, p in QUANTITY_PATTERNS}
+    # Evaluate every dimension/quantity regex ONCE PER DOCUMENT, before the
+    # category explode (mirroring the oracle's hits CTE): referencing the
+    # raw rlike expressions after explode would re-run each regex once per
+    # exploded category row — up to |categories|x the regex work.
+    hit_cols = d.select(
+        "doc_id",
+        "text",
+        *[F.col("text").rlike(p).alias(f"_d_{n}") for n, p in DIMENSION_PATTERNS],
+        *[F.col("text").rlike(p).alias(f"_q_{n}") for n, p in QUANTITY_PATTERNS],
+    )
+    dim_hit = {n: F.col(f"_d_{n}") for n, _ in DIMENSION_PATTERNS}
+    qty_hit = {n: F.col(f"_q_{n}") for n, _ in QUANTITY_PATTERNS}
     any_dim = None
     for n, _ in DIMENSION_PATTERNS:
         any_dim = dim_hit[n] if any_dim is None else (any_dim | dim_hit[n])
@@ -697,7 +702,12 @@ def exposure_metric_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]),
         lambda x: x.isNotNull(),
     )
-    exploded = d.select("doc_id", "text", F.explode(cats).alias("category"))
+    exploded = hit_cols.select(
+        "doc_id",
+        *[F.col(f"_d_{n}") for n, _ in DIMENSION_PATTERNS],
+        *[F.col(f"_q_{n}") for n, _ in QUANTITY_PATTERNS],
+        F.explode(cats).alias("category"),
+    )
     return exploded.select(
         "doc_id",
         "category",
@@ -1477,6 +1487,14 @@ SOCIO_INDICATORS: list[tuple[str, str, str, str]] = [
 ]
 GENERIC_SOCIO_PATTERN = r"\bvector\b"
 SINGLE_INDICATOR_INSUFFICIENT = ("POP_DENSITY", "SOCIO_VULN")
+# NOTE: a generic-only detection yields exactly one SOCIO_VULN indicator,
+# which the single-insufficient filter then drops — so SOCIO_VULN can never
+# appear in the OUTPUT.  This is faithful: the reference has the identical
+# interaction (generic fallback appends one SOCIO_VULN, 11…ipynb:1177, and
+# the P5 filter at :1199 declares standalone SOCIO_VULN 'too ambiguous' and
+# returns []).  The arm still matters: it is the reference's documented
+# shape, and relaxing SINGLE_INDICATOR_INSUFFICIENT re-activates it.
+# tests/test_golden_samples.py pins the never-survives behavior.
 
 
 def _socio_oracle() -> str:

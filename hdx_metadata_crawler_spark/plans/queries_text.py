@@ -180,6 +180,33 @@ def _full_oracle() -> str:
     """
 
 
+def _finalize_scores(scored: DataFrame) -> DataFrame:
+    """Shared tail of both full-A2 variants: score_max, components >= 5 with
+    the single-best fallback (:626), candidate flag, confidence ladder.
+    One implementation so the two physical strategies cannot drift."""
+    score_max = F.greatest(*[F.col(f"score_{c}") for c in _COMPONENTS])
+    comp0 = F.concat_ws(
+        ",", *[F.when(F.col(f"score_{c}") >= 5, F.lit(c)) for c in _COMPONENTS]
+    )
+    fallback = (
+        F.when(F.col("score_query") == F.col("score_max"), "query")
+        .when(F.col("score_storage") == F.col("score_max"), "storage")
+        .otherwise("stream")
+    )
+    return (
+        scored.withColumn("score_max", score_max)
+        .withColumn("comp0", comp0)
+        .select(
+            "doc_id", "score_query", "score_storage", "score_stream", "score_max",
+            F.when((F.col("comp0") == "") & (F.col("score_max") > 0), fallback)
+            .otherwise(F.col("comp0"))
+            .alias("components"),
+            (F.col("score_max") >= 5).alias("is_candidate"),
+            confidence_bucket(F.col("score_max")).alias("confidence"),
+        )
+    )
+
+
 @register(
     "classify_documents_full",
     _full_oracle(),
@@ -240,28 +267,7 @@ def classify_documents_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.select(
         "doc_id", *[scores[c].alias(f"score_{c}") for c in _COMPONENTS]
     )
-    score_max = F.greatest(*[F.col(f"score_{c}") for c in _COMPONENTS])
-    comp0 = F.concat_ws(
-        ",",
-        *[F.when(F.col(f"score_{c}") >= 5, F.lit(c)) for c in _COMPONENTS],
-    )
-    fallback = (
-        F.when(F.col("score_query") == F.col("score_max"), "query")
-        .when(F.col("score_storage") == F.col("score_max"), "storage")
-        .otherwise("stream")
-    )
-    return (
-        scored.withColumn("score_max", score_max)
-        .withColumn("comp0", comp0)
-        .select(
-            "doc_id", "score_query", "score_storage", "score_stream", "score_max",
-            F.when((F.col("comp0") == "") & (F.col("score_max") > 0), fallback)
-            .otherwise(F.col("comp0"))
-            .alias("components"),
-            (F.col("score_max") >= 5).alias("is_candidate"),
-            confidence_bucket(F.col("score_max")).alias("confidence"),
-        )
-    )
+    return _finalize_scores(scored)
 
 
 @register(
@@ -312,27 +318,7 @@ def classify_documents_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _COMPONENTS
     }
     scored = d.select("doc_id", *[scores[c].alias(f"score_{c}") for c in _COMPONENTS])
-    score_max = F.greatest(*[F.col(f"score_{c}") for c in _COMPONENTS])
-    comp0 = F.concat_ws(
-        ",", *[F.when(F.col(f"score_{c}") >= 5, F.lit(c)) for c in _COMPONENTS]
-    )
-    fallback = (
-        F.when(F.col("score_query") == F.col("score_max"), "query")
-        .when(F.col("score_storage") == F.col("score_max"), "storage")
-        .otherwise("stream")
-    )
-    return (
-        scored.withColumn("score_max", score_max)
-        .withColumn("comp0", comp0)
-        .select(
-            "doc_id", "score_query", "score_storage", "score_stream", "score_max",
-            F.when((F.col("comp0") == "") & (F.col("score_max") > 0), fallback)
-            .otherwise(F.col("comp0"))
-            .alias("components"),
-            (F.col("score_max") >= 5).alias("is_candidate"),
-            confidence_bucket(F.col("score_max")).alias("confidence"),
-        )
-    )
+    return _finalize_scores(scored)
 
 
 # ---------------------------------------------------------------------------
@@ -527,12 +513,12 @@ def token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id,
              len(toks)                                   AS n_tokens,
-             (n_chars * 1.0) / len(toks)                 AS avg_token_len,
+             (n_chars * 1.0) / greatest(len(toks), 1)    AS avg_token_len,
              len(list_filter(toks, t -> t IN ('the','a','of','and')))
-               * 1.0 / len(toks)                         AS stopword_ratio,
+               * 1.0 / greatest(len(toks), 1)            AS stopword_ratio,
              least(1.0, len(toks) / 50.0) * 0.5
                + (1.0 - len(list_filter(toks, t -> t IN ('the','a','of','and')))
-                        * 1.0 / len(toks)) * 0.5         AS quality
+                        * 1.0 / greatest(len(toks), 1)) * 0.5 AS quality
       FROM (SELECT doc_id, n_chars,
                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                t -> t <> '') AS toks
@@ -541,19 +527,23 @@ def token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Quality scoring for training-data curation (engine-new; mirrors "
         "NB13's weighted sub-score cascade shape, 13…ipynb:949): token count, "
-        "length ratio, stopword ratio → composite quality.",
+        "length ratio, stopword ratio → composite quality. Token-free text "
+        "(punctuation-only, non-Latin) divides by greatest(n,1) in BOTH "
+        "engines — a bare /n_tokens would throw DIVIDE_BY_ZERO under "
+        "Spark 4's default ANSI mode while DuckDB emitted inf.",
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     stop = F.array([F.lit(s) for s in ("the", "a", "of", "and")])
     n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tokens
+    denom = F.greatest(n_tokens, F.lit(1))
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / denom
     quality = F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.5 + (1.0 - stop_ratio) * 0.5
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(F.col("n_chars") / n_tokens, 4).alias("avg_token_len"),
+        F.round(F.col("n_chars") / denom, 4).alias("avg_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(quality, 4).alias("quality"),
     )

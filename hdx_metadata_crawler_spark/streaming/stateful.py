@@ -38,11 +38,18 @@ def _first_seen_fn(
 ) -> Iterator[pd.DataFrame]:
     seen: set[str] = set(state.get[0]) if state.exists else set()
     out: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        # deterministic within-batch order (the file source hands arrival
-        # order; (ts, event_id) is the contract's total order)
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for row in pdf.itertuples(index=False):
+    # Materialize ALL of this key's Arrow chunks before sorting: a key whose
+    # batch exceeds arrow.maxRecordsPerBatch arrives as MULTIPLE pdfs, and
+    # sorting each chunk independently would emit the wrong 'first' row
+    # whenever the true minimum lives in a later chunk (the (ts, event_id)
+    # total order is the registered oracle's contract).  Per-key batch data
+    # is bounded by the micro-batch, not the stream, so this is safe.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for row in merged.itertuples(index=False):
             if row.event_type not in seen:
                 seen.add(row.event_type)
                 out.append(

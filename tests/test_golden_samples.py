@@ -105,3 +105,16 @@ def test_structural_compliance_of_assembled_records(spark):
                 assert e["rate_ppm"] == math.floor(1_000_000.0 / rp + 0.5), (
                     "event rate must be 1/return_period (ppm, half-up)"
                 )
+
+
+def test_generic_socio_never_survives(spark):
+    """Faithful reference parity (11…ipynb:1177 + :1199): the generic
+    SOCIO_VULN fallback always yields exactly one indicator, and standalone
+    SOCIO_VULN is in the single-insufficient set — so it can never appear in
+    the output, in either engine."""
+    from hdx_metadata_crawler_spark.plans.queries_extractors import (
+        socioeconomic_indicators,
+    )
+
+    out = socioeconomic_indicators(spark, SF_MEDIUM)
+    assert out.filter(F.col("indicator_code") == "SOCIO_VULN").count() == 0

@@ -50,11 +50,19 @@ def test_translate_pattern_rules():
     assert translate_pattern(r"(?i)\bWORD\b") == r"(?i:\bWORD\b)"
     # already-common patterns pass through
     assert translate_pattern(r"\b(a|b)\b") == r"\b(a|b)\b"
-    # engine-specific constructs are refused (pandas-UDF fallback territory)
-    for bad in (r"(a)\1", r"(?=x)y", r"(?<=x)y", r"a*+b"):
-        assert not is_common_dialect(bad)
+    # engine-specific constructs are refused (pandas-UDF fallback territory):
+    # backrefs (numeric + named), lookaround, possessive, atomic groups,
+    # Java named groups, and Python-only inline flags (a/L/u/x)
+    for bad in (
+        r"(a)\1", r"(?=x)y", r"(?<=x)y", r"a*+b",
+        r"(?P<g>fl)(?P=g)", r"(?>ab)c", r"(?<name>x)y",
+        r"(?x)\bflood\b", r"(?u)\bword\b",
+    ):
+        assert not is_common_dialect(bad), bad
         with pytest.raises(ValueError):
             translate_pattern(bad)
+    # common-dialect flags still translate
+    assert translate_pattern(r"(?is)\bA.B\b") == r"(?is:\bA.B\b)"
 
 
 def test_python_vs_spark_vs_duckdb_parity(spark):
