@@ -48,18 +48,25 @@ def append_jsonl(df: DataFrame, path: str) -> None:
 
 
 def atomic_write_json(df: DataFrame, path: str) -> None:
-    """Atomic directory write (S5): materialize to a tmp sibling, then swap
-    via rename.  The previous rmtree(path)-then-replace left a window where a
-    crash lost the committed output and readers saw the path missing; the
-    swap sequence (path -> path.old, tmp -> path, delete path.old) never
-    destroys committed data before the new data is in place — a crash leaves
-    either the old output at path, or the old output recoverable at
-    path.old.  (The frontier checkpoint uses the stronger _COMMIT-marker
-    variant of this protocol, frontier._write_state.)"""
+    """Crash-safe directory write (S5): materialize to a tmp sibling, then
+    swap via rename (path -> path.old, tmp -> path, delete path.old).
+
+    Guarantees: committed data is never destroyed before its replacement is
+    in place — after a crash at ANY point, the last committed output exists
+    at ``path`` or at ``path.old``, and the next call RECOVERS path.old back
+    to path before writing (so stale debris is never deleted while it is
+    the only surviving copy).  Non-guarantee, stated honestly: a CONCURRENT
+    reader can hit the instant between the two renames and see path absent —
+    single-writer/serial-reader is the contract here; the frontier
+    checkpoint's _COMMIT-marker protocol (frontier._write_state) is the
+    no-gap variant readers key off, and is what the engine itself uses."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     old = f"{path}.old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # crash landed between the two renames: path.old IS the last commit
+        os.replace(old, path)
     df.write.mode("overwrite").json(tmp)
-    if os.path.exists(old):  # debris from a crash between the two renames
+    if os.path.exists(old):  # superseded backup from a completed swap
         shutil.rmtree(old)
     if os.path.exists(path):
         os.replace(path, old)

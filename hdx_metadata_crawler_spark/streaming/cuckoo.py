@@ -46,7 +46,16 @@ def _fingerprint(hashes: np.ndarray) -> np.ndarray:
 
 
 def _bucket1(hashes: np.ndarray, m: int) -> np.ndarray:
-    return (hashes % np.uint64(m)).astype(np.int64)
+    # Mix before reducing mod m: the raw low bits are ALREADY consumed by the
+    # pmod(url_hash, n_partitions) partition key, so within one partition
+    # every key shares them — `h % m` (m a power of two divisible by P)
+    # would confine all primary buckets to m/P slots, and measured insert
+    # failure then hits at ~55% load instead of the designed 84%
+    # (code-review finding, verified by simulation).  The SplitMix64-style
+    # multiply+xorshift decorrelates bucket choice from the partition bits.
+    h = hashes * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    return (h % np.uint64(m)).astype(np.int64)
 
 
 def _alt_bucket(bucket: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
@@ -122,10 +131,24 @@ class CuckooTable:
 CUCKOO_SCHEMA = StructType(
     [
         StructField("partition_id", IntegerType()),
+        StructField("n_partitions", IntegerType()),
         StructField("m", LongType()),
         StructField("table", BinaryType()),
     ]
 )
+
+
+def _check_partitioning(rows, n_partitions: int, where: str) -> None:
+    """Same cross-call invariant as bloom._check_partitioning: probing,
+    merging, or removing with a different P than the tables were built with
+    silently bypasses the filter for absent partitions (false negatives) or
+    routes removals to the wrong table."""
+    for r in rows:
+        if r["n_partitions"] != n_partitions:
+            raise ValueError(
+                f"{where}: cuckoo tables were built with n_partitions="
+                f"{r['n_partitions']} but called with {n_partitions}"
+            )
 
 
 def build_cuckoos(
@@ -149,7 +172,8 @@ def build_cuckoos(
                     f"cuckoo partition {key[0]} over capacity (m={m})"
                 )
         return pd.DataFrame(
-            {"partition_id": [key[0]], "m": [m], "table": [t.to_bytes()]}
+            {"partition_id": [key[0]], "n_partitions": [n_partitions],
+             "m": [m], "table": [t.to_bytes()]}
         )
 
     return (
@@ -207,9 +231,14 @@ def cuckoo_remove(
                 "filter (see docstring precondition)"
             )
         return pd.DataFrame(
-            {"partition_id": [key[0]], "m": [t.m], "table": [t.to_bytes()]}
+            {"partition_id": [key[0]], "n_partitions": [n_partitions],
+             "m": [t.m], "table": [t.to_bytes()]}
         )
 
+    _check_partitioning(
+        cuckoos.select("partition_id", "n_partitions").collect(),
+        n_partitions, "cuckoo_remove",
+    )
     return cuckoos.groupBy("partition_id").cogroup(
         keyed.groupBy("partition_id")
     ).applyInPandas(update_one, CUCKOO_SCHEMA)
@@ -225,8 +254,10 @@ def cuckoo_anti_join(
     """candidates ∖ seen with the cuckoo probe + exact rescue — identical
     contract to bloom.bloom_anti_join (false-drop-free)."""
     spark = candidates.sparkSession
+    cuckoo_rows = cuckoos.collect()
+    _check_partitioning(cuckoo_rows, n_partitions, "cuckoo_anti_join")
     tables = {
-        r["partition_id"]: (r["m"], r["table"]) for r in cuckoos.collect()
+        r["partition_id"]: (r["m"], r["table"]) for r in cuckoo_rows
     }
     bc = spark.sparkContext.broadcast(tables)
     n_bc = spark.sparkContext.broadcast(n_partitions)
@@ -255,7 +286,17 @@ def cuckoo_anti_join(
         .join(seen.select(hash_col).distinct(), hash_col, "left_anti")
     )
     out = definitely_new.unionByName(rescue)
-    from . import bloom as _bloom
-
-    _bloom._PERSISTED.append(flagged)
+    _PERSISTED.append(flagged)
     return out
+
+
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist intermediates pinned by cuckoo_anti_join (mirrors
+    bloom.release_persisted / ranking.release_persisted — call once the
+    round's outputs are consumed; previously these leaked into bloom's
+    registry, which standalone cuckoo callers never release)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -279,15 +280,23 @@ class CrawlEngine:
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.ckpt_dir, f"round_{rnd:04d}")
 
+    _ROUND_DIR_RE = re.compile(r"^round_(\d{4})$")
+
     def latest_committed_round(self) -> int | None:
         if not os.path.isdir(self.ckpt_dir):
             return None
         rounds = []
         for name in os.listdir(self.ckpt_dir):
-            if name.startswith("round_") and os.path.exists(
+            # STRICT name match: _write_state writes _COMMIT.json inside the
+            # .tmp staging dir BEFORE the atomic rename, so a crash in that
+            # window leaves round_NNNN.tmp/_COMMIT.json on disk — a loose
+            # startswith('round_') match would both misclassify that
+            # uncommitted round as committed AND crash int('NNNN.tmp').
+            m = self._ROUND_DIR_RE.match(name)
+            if m and os.path.exists(
                 os.path.join(self.ckpt_dir, name, "_COMMIT.json")
             ):
-                rounds.append(int(name.split("_")[1]))
+                rounds.append(int(m.group(1)))
         return max(rounds) if rounds else None
 
     def _write_state(
@@ -422,6 +431,17 @@ class CrawlEngine:
         if last is not None:
             state = self._read_state(last)
             start_round = last + 1
+            # Reload prior rounds' metrics from their commit markers so a
+            # resumed run()['metrics'] covers the whole crawl, not just the
+            # post-crash rounds.  (The marker is written before the round's
+            # wall timing exists, so reloaded entries carry counts but not
+            # wall_sec — in-session timings remain in-session.)
+            if not self.metrics.rounds:
+                for r in self._committed_rounds(last):
+                    with open(
+                        os.path.join(self._round_dir(r), "_COMMIT.json")
+                    ) as f:
+                        self.metrics.rounds.append(json.load(f)["metrics"])
         else:
             assert seed_urls is not None, "seed_urls required for a fresh run"
             state = self.seed_state(seed_urls)

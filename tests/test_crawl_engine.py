@@ -376,3 +376,39 @@ def test_bloom_partition_count_mismatch_refuses(spark):
         bloom.bloom_anti_join(urls, urls, blooms, n_partitions=16)
     with pytest.raises(ValueError, match="n_partitions"):
         bloom.merge_blooms(blooms, urls, n_partitions=4)
+
+
+def test_resume_ignores_tmp_dir_with_commit_marker(spark, tmp_path):
+    """_write_state writes _COMMIT.json inside round_NNNN.tmp BEFORE the
+    atomic rename; a crash in that window must not be mistaken for a
+    committed round (code-review finding: the loose name match both
+    misclassified it and crashed int('NNNN.tmp'))."""
+    import json
+    import os
+
+    ckpt = str(tmp_path / "ckpt_tmpmarker")
+    cfg1 = CrawlConfig(**{**CFG.__dict__, "max_rounds": 1})
+    e1 = CrawlEngine(spark, ckpt, cfg1)
+    e1.run(seed_urls=synthetic.seed_urls(40))
+    assert e1.latest_committed_round() == 0
+
+    # crash window: staging dir exists WITH its commit marker, rename not done
+    tmpdir = os.path.join(ckpt, "round_0001.tmp")
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, "_COMMIT.json"), "w") as f:
+        json.dump({"round": 1, "metrics": {}}, f)
+
+    e2 = CrawlEngine(spark, ckpt, CFG)
+    assert e2.latest_committed_round() == 0  # not 1, and no ValueError
+
+
+def test_resumed_run_reports_all_round_metrics(spark, tmp_path):
+    """run()['metrics'] after a resume must cover the pre-crash rounds too
+    (reloaded from the commit markers)."""
+    ckpt = str(tmp_path / "ckpt_metrics")
+    cfg1 = CrawlConfig(**{**CFG.__dict__, "max_rounds": 1})
+    CrawlEngine(spark, ckpt, cfg1).run(seed_urls=synthetic.seed_urls(40))
+    out = CrawlEngine(spark, ckpt, CFG).run(resume=True)
+    rounds = [m["round"] for m in out["metrics"]]
+    assert rounds[0] == 0 and rounds == sorted(rounds)
+    assert len(rounds) == out["final_round"] + 1

@@ -80,3 +80,26 @@ def test_tiered_write_partitions_and_order(spark, tmp_path):
         for f in files:
             scores = [r["score"] for r in spark.read.parquet(f).collect()]
             assert scores == sorted(scores, reverse=True)
+
+
+def test_atomic_write_recovers_from_crash_window(spark, tmp_path):
+    """A crash between the two swap renames leaves only path.old; the next
+    call must recover it instead of deleting the only surviving copy."""
+    import os
+    import shutil
+
+    from hdx_metadata_crawler_spark.sources import sinks
+
+    path = str(tmp_path / "out")
+    df1 = spark.createDataFrame([(1, "first")], ["id", "v"])
+    sinks.atomic_write_json(df1, path)
+    assert {r["v"] for r in spark.read.json(path).collect()} == {"first"}
+
+    # simulate the crash window: committed output moved aside, path absent
+    shutil.move(path, path + ".old")
+    assert not os.path.exists(path)
+
+    df2 = spark.createDataFrame([(2, "second")], ["id", "v"])
+    sinks.atomic_write_json(df2, path)
+    assert {r["v"] for r in spark.read.json(path).collect()} == {"second"}
+    assert not os.path.exists(path + ".old")
