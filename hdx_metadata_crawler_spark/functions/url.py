@@ -2,11 +2,19 @@
 
 The reference achieves URL identity via deterministic filenames
 (``01…ipynb:514-556 dataset_filename``); a web-scale frontier needs true URL
-canonicalization.  The canonical form is computed JVM-side with column
-expressions for the common cases; query-parameter sorting (the one step that
-needs real parsing) is a vectorized pandas UDF gated behind a cheap
-``contains('?')`` predicate so the overwhelmingly query-less crawl URLs never
-leave the JVM.
+canonicalization.  The canonical form is FULL column algebra — including
+query-parameter sorting (split on '&' → array_sort → array_join), so no row
+ever leaves the JVM.  (Round 1 gated a pandas UDF behind a
+``F.when(contains('?'), udf(...))`` predicate — but Spark's
+ExtractPythonUDFs rule HOISTS Python UDFs out of conditionals and evaluates
+them on EVERY row, so the 'gate' shipped 100% of URLs through Arrow anyway,
+verified empirically.  The lesson is recorded here because the pattern looks
+correct and silently is not.)
+
+Canonical form: https-defaulted lowercase scheme, lowercase host, default
+port stripped (http:80 / https:443), fragment stripped, empty path → '/',
+query params sorted bytewise.  ``canonicalize_url_py`` is the same function
+in plain Python — the property-test reference implementation.
 
 Frontier keys are ``xxhash64(canon_url)`` (Spark builtin — 64-bit, fast,
 consistent across executors), per the north rule.
@@ -14,52 +22,72 @@ consistent across executors), per the north rule.
 
 from __future__ import annotations
 
-from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
-
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
 
 
-def _canon_one(url: str | None) -> str | None:
+def canonicalize_url_py(url: str | None) -> str | None:
+    """Plain-Python reference implementation of the canonical form (used by
+    property tests and the crawl simulator — byte-identical to the column
+    expression by construction)."""
     if url is None:
         return None
-    try:
-        scheme, netloc, path, query, _frag = urlsplit(url.strip())
-    except ValueError:
-        return url.strip()
-    scheme = (scheme or "https").lower()
-    netloc = netloc.lower()
-    if netloc.endswith(":80") and scheme == "http":
-        netloc = netloc[:-3]
-    if netloc.endswith(":443") and scheme == "https":
-        netloc = netloc[:-4]
+    u = url.strip()
+    u = u.split("#", 1)[0]
+    if "://" not in u:
+        u = "https://" + u
+    scheme, _, rest = u.partition("://")
+    scheme = scheme.lower()
+    hostpart, sep, tail = rest.partition("/")
+    tail = sep + tail  # '' or '/...'
+    if "?" in hostpart:  # query directly after host, no path
+        hostpart, _, q = hostpart.partition("?")
+        tail = "?" + q
+    host = hostpart.lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    if scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    path, qsep, query = tail.partition("?")
     if not path:
         path = "/"
-    if query:
-        query = urlencode(sorted(parse_qsl(query, keep_blank_values=True)))
-    return urlunsplit((scheme, netloc, path, query, ""))
-
-
-@pandas_udf(StringType())
-def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(_canon_one)
+    if qsep:
+        query = "&".join(sorted(query.split("&")))
+        return f"{scheme}://{host}{path}?{query}"
+    return f"{scheme}://{host}{path}"
 
 
 def canonicalize_url(col: Column) -> Column:
-    """Canonical URL: JVM fast path (lowercase scheme+host, strip fragment,
-    default ports) with a pandas-UDF slow path only for URLs carrying a query
-    string (needs param sorting)."""
-    # JVM fast path: strip fragment, lowercase scheme://host, drop default port.
+    """Canonical URL, entirely JVM-side (no Python in the hot path)."""
     no_frag = F.regexp_replace(F.trim(col), r"#.*$", "")
-    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    rest = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
-    fast = F.concat(scheme, F.lit("://"), _strip_default_port(scheme, host),
-                    F.when(rest == "", F.lit("/")).otherwise(rest))
-    return F.when(no_frag.contains("?"), canonicalize_url_udf(no_frag)).otherwise(fast)
+    # scheme-less input defaults to https:// — without this, the extraction
+    # regexes all miss and every scheme-less URL collapsed to ':///' with
+    # ONE shared url_hash (silent frontier dedup of distinct URLs).
+    with_scheme = F.when(
+        no_frag.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), no_frag
+    ).otherwise(F.concat(F.lit("https://"), no_frag))
+    scheme = F.lower(
+        F.regexp_extract(with_scheme, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(with_scheme, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_extract(
+        with_scheme, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        _strip_default_port(scheme, host),
+        path,
+        F.when(rest.contains("?"), F.concat(F.lit("?"), sorted_query)).otherwise(
+            F.lit("")
+        ),
+    )
 
 
 def _strip_default_port(scheme: Column, host: Column) -> Column:

@@ -44,7 +44,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard: 0/0 would be NaN, which Spark sorts FIRST under
+    # desc() (a zero vector would become everyone's top neighbor) while
+    # DuckDB's division-by-zero yields NULL (sorts last) — define the
+    # cosine against a zero vector as 0 in both engines instead.
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def as_double(a: Column) -> Column:

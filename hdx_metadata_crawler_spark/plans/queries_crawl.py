@@ -66,8 +66,9 @@ def _seed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="URL canonicalization (north rule; reference analogue "
         "01…ipynb:514-556 deterministic filenames): lowercase scheme/host, "
-        "strip fragment + default port, sort query params. Vectorized pandas "
-        "UDF only on the '?'-carrying slow path.",
+        "https default for scheme-less URLs, strip fragment + default port, "
+        "sort query params — ENTIRELY column algebra (split/array_sort/"
+        "array_join for the query), zero Python in the hot path.",
 )
 def canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _seed_urls(spark, sf_dir)
@@ -135,15 +136,31 @@ def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "host_partition_stats",
     None,  # xxhash64 partition assignment — Spark-specific, rows-only check
-    doc="Frontier partition-balance diagnostics: docs per pmod(xxhash64(url), "
-        "32) partition with and without hot-host salting (north rule skew "
-        "handling). Asserted quantitatively in tests/test_crawl_engine.py.",
+    doc="Frontier partition-balance diagnostics: docs per pmod(xxhash64, 32) "
+        "partition under BOTH keys — host-only (the skewed control: the hot "
+        "host lands in one partition) and host+salt (the engine's fetch "
+        "key) — so the skew the salting breaks is visible in one output "
+        "(north rule skew handling). Asserted quantitatively in "
+        "tests/test_crawl_engine.py.",
 )
 def host_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seeds = _seed_urls(spark, sf_dir)
     canon = canonicalize_urls(spark, sf_dir).select("doc_id", "canon_url", "host")
-    salted = canon.withColumn(
-        "partition_id",
-        F.pmod(F.xxhash64(F.col("host"), F.pmod(F.xxhash64("canon_url"), F.lit(8))), F.lit(32)),
+    unsalted = (
+        canon.withColumn("partition_id", F.pmod(F.xxhash64("host"), F.lit(32)))
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("n_urls"))
+        .withColumn("keying", F.lit("host_only"))
     )
-    return salted.groupBy("partition_id").agg(F.count("*").alias("n_urls"))
+    salted = (
+        canon.withColumn(
+            "partition_id",
+            F.pmod(
+                F.xxhash64(F.col("host"), F.pmod(F.xxhash64("canon_url"), F.lit(8))),
+                F.lit(32),
+            ),
+        )
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("n_urls"))
+        .withColumn("keying", F.lit("host_salted"))
+    )
+    return unsalted.unionByName(salted).select("keying", "partition_id", "n_urls")

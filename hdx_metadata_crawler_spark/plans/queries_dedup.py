@@ -94,11 +94,11 @@ WITH v AS (SELECT vec_id, embedding FROM embeddings),
        FROM d a JOIN d b ON a.i = b.i AND a.vec_id < b.vec_id
        GROUP BY a.vec_id, b.vec_id)
 SELECT id_a, id_b,
-       round(dp / (na.nrm * nb.nrm), 4) AS cos_sim
+       round(coalesce(dp / nullif(na.nrm * nb.nrm, 0), 0), 4) AS cos_sim
 FROM dots
 JOIN norms na ON dots.id_a = na.vec_id
 JOIN norms nb ON dots.id_b = nb.vec_id
-WHERE round(dp / (na.nrm * nb.nrm), 4) >= 0.40
+WHERE round(coalesce(dp / nullif(na.nrm * nb.nrm, 0), 0), 4) >= 0.40
 """
 
 

@@ -23,7 +23,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_
      cnorms AS (SELECT neighbor_id AS id, sqrt(sum(x * x)) AS nrm FROM cd GROUP BY neighbor_id),
      scored AS (
        SELECT query_id, neighbor_id,
-              round(d / (qn.nrm * cn.nrm), 4) AS cos_sim
+              round(coalesce(d / nullif(qn.nrm * cn.nrm, 0), 0), 4) AS cos_sim
        FROM dots JOIN norms qn ON dots.query_id = qn.id
                  JOIN cnorms cn ON dots.neighbor_id = cn.id)
 SELECT query_id, neighbor_id, cos_sim, rank

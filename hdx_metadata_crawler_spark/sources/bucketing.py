@@ -10,8 +10,10 @@ hash-partitioned by ``pmod(url_hash, P)`` across rounds (bloom.py uses the
 same partition function), so every round's anti-join lines up.
 
 Bucketing requires a table catalog (`saveAsTable`); callers pass a
-warehouse-backed SparkSession.  `assert_no_shuffle_join` is the test hook:
-it fails if the join plan contains any Exchange.
+warehouse-backed SparkSession.  `join_exchanges(df)` is the test hook: it
+counts Exchange nodes in the join's physical plan, and the bucketing tests
+assert it returns ZERO for the bucketed join (vs >= 2 for the plain-parquet
+control).
 """
 
 from __future__ import annotations

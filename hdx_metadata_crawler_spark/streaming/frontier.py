@@ -58,6 +58,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from ..functions.url import url_hash
 from ..operators import ranking
 from ..operators.ranking import two_phase_rank
 from ..sources import synthetic
@@ -380,7 +381,7 @@ class CrawlEngine:
             [(u.strip(),) for u in seed_urls], "canon_url string"
         ).select(
             "canon_url",
-            F.xxhash64("canon_url").alias("url_hash"),
+            url_hash(F.col("canon_url")).alias("url_hash"),
             F.regexp_extract("canon_url", r"^https?://([^/]+)", 1).alias("host"),
             F.lit(0).alias("priority"),
             F.lit(0).alias("depth"),
@@ -490,7 +491,14 @@ class CrawlEngine:
                         else F.array().cast("array<string>"),
                     ]
                 prefix_map = F.create_map(*prefix_pairs)
-                path = F.regexp_extract("canon_url", r"^https?://[^/]+([^?#]*)", 1)
+                # path-less URL => '/', matching robots.url_path: a
+                # Disallow prefix of '/' (disallow-all) must block
+                # 'https://host' too — the bare regex yields '' there,
+                # which startswith('/') would miss (parity + policy bug).
+                raw_path = F.regexp_extract(
+                    "canon_url", r"^https?://[^/]+([^?#]*)", 1
+                )
+                path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
                 disallowed_flag = F.exists(
                     F.coalesce(
                         F.element_at(prefix_map, F.col("host")),
@@ -588,7 +596,7 @@ class CrawlEngine:
                 ok.select(F.explode("discovered").alias("raw_url"), "depth")
                 .select(
                     F.trim("raw_url").alias("canon_url"),
-                    F.xxhash64(F.trim("raw_url")).alias("url_hash"),
+                    url_hash(F.trim("raw_url")).alias("url_hash"),
                     F.regexp_extract(F.trim("raw_url"), r"^https?://([^/]+)", 1).alias("host"),
                     (F.col("depth") + 1).alias("priority"),
                     (F.col("depth") + 1).alias("depth"),

@@ -106,6 +106,33 @@ def test_canonicalize_idempotent_property(spark, url):
     assert twice == once
 
 
+def test_canonicalize_matches_python_reference(spark):
+    """The column expression and canonicalize_url_py are the same function —
+    including the scheme-less default (round-1 fast path collapsed every
+    scheme-less URL to ':///' with ONE shared hash) and query sorting."""
+    from hdx_metadata_crawler_spark.functions.url import canonicalize_url_py
+
+    fixtures = [
+        "HTTPS://Hdx.HumData.org:443/dataset/7?format=json&page=1#frag",
+        "http://Example.COM:80/a/b?z=9&a=1&a=0",
+        "https://example.org",                   # no path
+        "https://example.org?x=1",               # query, no path
+        "example.org/page1",                     # scheme-less
+        "example.org/page2",                     # scheme-less, distinct
+        "  https://pad.example.org/x  ",         # whitespace
+        "https://h/p?",                          # empty query
+        "https://h/p?single",                    # bare param
+    ]
+    df = spark.createDataFrame([(u,) for u in fixtures], ["u"])
+    got = [
+        r["c"] for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()
+    ]
+    expected = [canonicalize_url_py(u) for u in fixtures]
+    assert got == expected
+    # the two scheme-less URLs must stay DISTINCT after canonicalization
+    assert got[4] != got[5]
+
+
 def test_politeness_salt_matches_spark(spark):
     """zlib.crc32 == Spark crc32 for the politeness salt (the simulator's
     parity depends on this exact equality)."""
