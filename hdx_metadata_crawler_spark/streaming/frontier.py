@@ -46,7 +46,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -148,6 +148,7 @@ def politeness_slots(
     rps: float,
     n_salts: int,
     host_rps: dict[str, float] | None = None,
+    rps_col: Column | None = None,
 ) -> DataFrame:
     """Two-phase salted politeness schedule — skew-free slot assignment.
 
@@ -167,20 +168,23 @@ def politeness_slots(
     per host — the politeness budget of ``01…ipynb:390 _rate_limit`` holds
     exactly, while the sort parallelism is n_salts per host instead of 1.
 
-    ``host_rps`` (robots Crawl-delay overrides, streaming/robots.py) replaces
-    the global rps for listed hosts — a tiny literal map folded into the slot
-    expression, so per-host budgets cost nothing extra.
+    Per-host budgets (robots Crawl-delay overrides, streaming/robots.py)
+    come in either as ``rps_col`` — a per-row rps column already joined onto
+    the page from the broadcast robots dim (the round loop's form; zero
+    driver state) — or as the legacy ``host_rps`` literal-map dict.  Either
+    way the budget folds into the slot expression at no extra cost.
     """
     salt = F.pmod(F.crc32(F.encode("canon_url", "utf-8")), F.lit(n_salts)).cast("int")
-    if host_rps:
-        pairs: list = []
-        for h, r in sorted(host_rps.items()):
-            pairs += [F.lit(h), F.lit(float(r))]
-        rps_col = F.coalesce(
-            F.element_at(F.create_map(*pairs), F.col("host")), F.lit(float(rps))
-        )
-    else:
-        rps_col = F.lit(float(rps))
+    if rps_col is None:
+        if host_rps:
+            pairs: list = []
+            for h, r in sorted(host_rps.items()):
+                pairs += [F.lit(h), F.lit(float(r))]
+            rps_col = F.coalesce(
+                F.element_at(F.create_map(*pairs), F.col("host")), F.lit(float(rps))
+            )
+        else:
+            rps_col = F.lit(float(rps))
     w = Window.partitionBy("host", "salt").orderBy("priority", "canon_url")
     return (
         page.withColumn("salt", salt)
@@ -451,6 +455,18 @@ class CrawlEngine:
                 shutil.rmtree(self.ckpt_dir)
             os.makedirs(self.ckpt_dir, exist_ok=True)
 
+        # Robots policy dim, built ONCE per run (not per round): explicit
+        # rows for hosts with a non-default robots.txt + the default policy
+        # for everything else.  The page joins this broadcast-side — no
+        # driver-side collect of data-derived hosts anywhere in the loop.
+        robots_dim = None
+        robots_default: tuple[list[str], float] | None = None
+        if cfg.respect_robots:
+            rows, robots_default = robots.policy_table(cfg.rps)
+            robots_dim = self.spark.createDataFrame(
+                rows, "host string, r_prefixes array<string>, r_rps double"
+            )
+
         for rnd in range(start_round, cfg.max_rounds):
             t0 = time.time()
             frontier, seen = state["frontier"], state["seen"]
@@ -475,22 +491,18 @@ class CrawlEngine:
                 break
 
             # 3a. robots budgeting: Disallow prefixes route to errors+seen,
-            # Crawl-delay overrides the per-host rps (north rule).  The host
-            # list per page is tiny (it is the politeness grouping key), so
-            # the policy is computed driver-side and folded into literal
-            # expressions; at 10^10 scale the same policy lives in a
-            # broadcast robots dim table, joined on host.
+            # Crawl-delay overrides the per-host rps (north rule).  The page
+            # broadcast-joins the run-level robots dim on host (hosts absent
+            # from the dim get the default policy) — the exact shape that
+            # holds at 10^10 scale, with zero driver-side data dependency
+            # inside the round loop.
             if cfg.respect_robots:
-                hosts = [r["host"] for r in page.select("host").distinct().collect()]
-                policy = robots.policy_for_hosts(hosts, cfg.rps)
-                prefix_pairs: list = []
-                for h, (prefixes, _r) in sorted(policy.items()):
-                    prefix_pairs += [
-                        F.lit(h),
-                        F.array(*[F.lit(p) for p in prefixes]) if prefixes
-                        else F.array().cast("array<string>"),
-                    ]
-                prefix_map = F.create_map(*prefix_pairs)
+                def_prefixes, def_rps = robots_default
+                def_prefix_arr = (
+                    F.array(*[F.lit(p) for p in def_prefixes])
+                    if def_prefixes
+                    else F.array().cast("array<string>")
+                )
                 # path-less URL => '/', matching robots.url_path: a
                 # Disallow prefix of '/' (disallow-all) must block
                 # 'https://host' too — the bare regex yields '' there,
@@ -500,27 +512,34 @@ class CrawlEngine:
                 )
                 path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
                 disallowed_flag = F.exists(
-                    F.coalesce(
-                        F.element_at(prefix_map, F.col("host")),
-                        F.array().cast("array<string>"),
-                    ),
+                    F.coalesce(F.col("r_prefixes"), def_prefix_arr),
                     lambda p: path.startswith(p),
                 )
-                flagged_page = page.withColumn("_disallowed", disallowed_flag).cache()
-                blocked = flagged_page.filter(F.col("_disallowed")).drop("_disallowed")
+                flagged_page = (
+                    page.join(F.broadcast(robots_dim), "host", "left")
+                    .withColumn("_disallowed", disallowed_flag)
+                    .withColumn("_rps_host", F.coalesce("r_rps", F.lit(def_rps)))
+                    .drop("r_prefixes", "r_rps")
+                    .cache()
+                )
+                blocked = flagged_page.filter(F.col("_disallowed")).drop(
+                    "_disallowed", "_rps_host"
+                )
                 allowed = flagged_page.filter(~F.col("_disallowed")).drop("_disallowed")
-                host_rps = {h: r for h, (_p, r) in policy.items()}
+                rps_col = F.col("_rps_host")
             else:
                 flagged_page = None
                 blocked = page.filter(F.lit(False))
                 allowed = page
-                host_rps = None
+                rps_col = None
 
             # 3b. politeness: salted per-host sub-queues → time_slot at the
             # per-host rps budget
             scheduled = politeness_slots(
-                allowed, cfg.rps, cfg.politeness_salts, host_rps
+                allowed, cfg.rps, cfg.politeness_salts, rps_col=rps_col
             )
+            if rps_col is not None:
+                scheduled = scheduled.drop("_rps_host")
 
             # 4. fetch over salted host-hash partitions (skew-broken).
             # Partition count adapts to the page: retry-tail rounds with a

@@ -73,6 +73,33 @@ def policy_for_hosts(hosts: list[str], default_rps: float) -> dict[str, tuple[li
     return out
 
 
+def policy_table(default_rps: float) -> tuple[
+    list[tuple[str, list[str], float]], tuple[list[str], float]
+]:
+    """The robots policy as a DIM TABLE: explicit rows for the hosts whose
+    robots.txt differs from the default, plus the default policy applied to
+    any host absent from the table.
+
+    This is what the crawl round loop broadcast-joins against (host equi-key,
+    zero shuffle of the page side) — replacing the round-2 per-round
+    ``page.select('host').distinct().collect()``, the last driver-side
+    data-derived collect in the loop.  At 10^10-URL scale the table is the
+    materialized robots cache (one row per crawled host, refreshed out of
+    band); here it is derived from the same ``robots_txt`` function the
+    pure-Python oracle simulator parses, so parity still compares two
+    executions of ONE policy.
+    """
+    known = sorted({HOT_HOST, *MIRROR_HOSTS})
+    rows = []
+    for h in known:
+        prefixes, delay = parse_robots(robots_txt(h))
+        rps = 1.0 / delay if delay and delay > 0 else default_rps
+        rows.append((h, prefixes, rps))
+    d_prefixes, d_delay = parse_robots(robots_txt("__unlisted-host__"))
+    d_rps = 1.0 / d_delay if d_delay and d_delay > 0 else default_rps
+    return rows, (d_prefixes, d_rps)
+
+
 def url_path(url: str) -> str:
     """Path component of an http(s) URL (no query/fragment)."""
     rest = url.split("://", 1)[-1]
