@@ -1,0 +1,991 @@
+"""RDLS nested block assembly — the exposure / vulnerability / loss half of
+SURVEY §1's "nested output records" row (round 2 built only the hazard
+block).
+
+Reference builders re-expressed as pure struct/transform column algebra:
+
+- ``build_exposure_block``   (``10…ipynb:1022``): ``exposure[].metrics[]`` —
+  per-category metric with codelist validation, category-default fallback,
+  currency when the quantity kind is monetary, taxonomy when the hint is in
+  the closed taxonomy codelist, and indices that SKIP schema-invalid
+  categories without renumbering (the reference enumerates
+  ``extraction.categories`` and ``continue``s on invalid ones).
+- ``build_vulnerability_block`` (``11…ipynb:1265``): ``functions{}`` keyed by
+  function type with the full validation cascade — codelist fallbacks,
+  Group 1 (impact_metric allowed for function_type), Group 3 (quantity_kind
+  + impact_type forced by impact_metric), the P1+P2 skip of entries with no
+  determinable hazard/category, empty-type keys dropped — plus
+  ``socio_economic[]`` with the 1900-2100 reference-year clamp.
+- ``build_loss_block``       (``11…ipynb:3226``): ``losses[]`` with the
+  7-required-field ``impact_and_losses`` sub-object, Group 1 asset-triplet
+  re-validation, Group 2 metric constraints, currency only when valid AND
+  monetary, optional lineage/description.
+
+Every query serializes with ``to_json`` (null fields omitted — the Spark
+analogue of the reference's conditional dict keys) and is checked against a
+DuckDB oracle that constructs the SAME JSON byte-for-byte via string
+concatenation, so the conditional-key semantics are value-hash-verified, not
+just row-counted.
+
+The synthetic corpus has no real hazard metadata, so extraction raws are
+deterministic functions of (text markers, doc_id) — the established pattern
+of queries_extractors (every validation branch fires somewhere in the
+corpus; the oracle derives the same raws from the same rule).  The
+reference's ``datetime.now().year`` default for out-of-range reference years
+is injected as the ``REFERENCE_YEAR_FALLBACK`` constant (SURVEY §7.4 risk 4:
+non-deterministic defaults become parameters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rdls_schema import (
+    EXPOSURE_CATEGORIES,
+    HAZARD_TYPES,
+    IMPACT_METRICS,
+    TAXONOMIES,
+)
+from ..sources.tables import load_table
+from .queries_extractors import (
+    CATEGORY_DEFAULT_METRICS,
+    DIMENSION_PATTERNS,
+    QUANTITY_PATTERNS,
+    TIER_CATEGORIES,
+    VALID_TRIPLETS,
+)
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# shared synthetic derivations (Spark + oracle build from the SAME constants)
+# ---------------------------------------------------------------------------
+
+# reference-year fallback (the reference uses datetime.now().year,
+# 11…ipynb:1394; injected as a constant for determinism)
+REFERENCE_YEAR_FALLBACK = 2026
+
+# taxonomy hint: two valid codelist values, one invalid (gate must drop it),
+# absent otherwise (10…ipynb:1064 `if extraction.taxonomy_hint and ... in
+# VALID_TAXONOMIES`)
+_TAX_BY_MOD11 = {0: "GED4ALL", 1: "HAZUS", 2: "NotATaxonomy"}
+
+# currency suffix rule — same shape as queries_extractors.currency_detection
+# (10…ipynb:776 _detect_currency): appended deterministically so every
+# branch occurs in the corpus.
+_CUR_BY_MOD7 = {0: "USD", 1: "EUR", 2: "JPY", 3: "INR"}
+
+_NO_METRICS_MOD, _NO_METRICS_REM = 13, 5  # "extractor found no metrics" docs
+
+_SYNTH_CATEGORIES = [c for c, _ in TIER_CATEGORIES]
+
+
+def _doc_str() -> Column:
+    return F.col("doc_id").cast("string")
+
+
+def _currency_col() -> Column:
+    """Detected currency per doc ('' when none) — _detect_currency's
+    first-match rule over the deterministic suffix."""
+    chain = None
+    for rem, cur in _CUR_BY_MOD7.items():
+        b = (F.col("doc_id") % 7 == rem, F.lit(cur))
+        chain = F.when(*b) if chain is None else chain.when(*b)
+    return chain.otherwise(F.lit(""))
+
+
+def _currency_sql() -> str:
+    branches = " ".join(
+        f"WHEN doc_id % 7 = {rem} THEN '{cur}'"
+        for rem, cur in _CUR_BY_MOD7.items()
+    )
+    return f"(CASE {branches} ELSE '' END)"
+
+
+def _taxonomy_col() -> Column:
+    """Validated taxonomy hint (null when absent or not in the codelist)."""
+    chain = None
+    for rem, tax in _TAX_BY_MOD11.items():
+        if tax not in TAXONOMIES:
+            continue
+        b = (F.col("doc_id") % 11 == rem, F.lit(tax))
+        chain = F.when(*b) if chain is None else chain.when(*b)
+    return chain
+
+
+def _taxonomy_sql_part() -> str:
+    """',"taxonomy":"X"' or '' — the conditional JSON fragment."""
+    branches = " ".join(
+        f"WHEN doc_id % 11 = {rem} THEN ',\"taxonomy\":\"{tax}\"'"
+        for rem, tax in _TAX_BY_MOD11.items()
+        if tax in TAXONOMIES
+    )
+    return f"(CASE {branches} ELSE '' END)"
+
+
+# --- per-category metric inference + constraint validation (static cat) ----
+
+
+def _dim_qty_cols(cat: str) -> tuple[Column, Column]:
+    """Constraint-validated (dimension, quantity_kind) for a static category
+    — the exposure_metric_inference cascade + VALID_TRIPLETS re-validation +
+    the no-metrics default branch, as column algebra over the text."""
+    text = F.col("text")
+    dim_hit = {n: text.rlike(p) for n, p in DIMENSION_PATTERNS}
+    qty_hit = {n: text.rlike(p) for n, p in QUANTITY_PATTERNS}
+    any_dim = None
+    for n, _ in DIMENSION_PATTERNS:
+        any_dim = dim_hit[n] if any_dim is None else (any_dim | dim_hit[n])
+    first_dim = None
+    for n, _ in DIMENSION_PATTERNS:
+        b = (dim_hit[n], F.lit(n))
+        first_dim = F.when(*b) if first_dim is None else first_dim.when(*b)
+    first_qty = None
+    for n, _ in QUANTITY_PATTERNS:
+        b = (qty_hit[n], F.lit(n))
+        first_qty = F.when(*b) if first_qty is None else first_qty.when(*b)
+
+    dd, dq = CATEGORY_DEFAULT_METRICS[cat]
+    dim0 = (
+        F.when(any_dim & dim_hit[dd], dd).when(any_dim, first_dim).otherwise(dd)
+    )
+    qty0 = F.coalesce(first_qty, F.lit(dq))
+    ok = None
+    for d, q in VALID_TRIPLETS[cat]:
+        branch = (dim0 == d) & (qty0 == q)
+        ok = branch if ok is None else (ok | branch)
+    no_metrics = F.col("doc_id") % _NO_METRICS_MOD == _NO_METRICS_REM
+    dim_final = F.when(no_metrics | ~ok, dd).otherwise(dim0)
+    qty_final = F.when(no_metrics | ~ok, dq).otherwise(qty0)
+    return dim_final, qty_final
+
+
+def _dim_qty_sql(cat: str) -> tuple[str, str]:
+    """Same cascade as _dim_qty_cols, as DuckDB SQL expressions."""
+    dim_hit = {n: f"regexp_matches(text, '{p}')" for n, p in DIMENSION_PATTERNS}
+    qty_hit = {n: f"regexp_matches(text, '{p}')" for n, p in QUANTITY_PATTERNS}
+    any_dim = " OR ".join(dim_hit.values())
+    first_dim = (
+        "CASE "
+        + " ".join(f"WHEN {dim_hit[n]} THEN '{n}'" for n, _ in DIMENSION_PATTERNS)
+        + " END"
+    )
+    first_qty = (
+        "CASE "
+        + " ".join(f"WHEN {qty_hit[n]} THEN '{n}'" for n, _ in QUANTITY_PATTERNS)
+        + " END"
+    )
+    dd, dq = CATEGORY_DEFAULT_METRICS[cat]
+    dim0 = (
+        f"(CASE WHEN ({any_dim}) AND {dim_hit[dd]} THEN '{dd}' "
+        f"WHEN ({any_dim}) THEN {first_dim} ELSE '{dd}' END)"
+    )
+    qty0 = f"coalesce({first_qty}, '{dq}')"
+    ok = " OR ".join(
+        f"({dim0} = '{d}' AND {qty0} = '{q}')" for d, q in VALID_TRIPLETS[cat]
+    )
+    no_metrics = f"doc_id % {_NO_METRICS_MOD} = {_NO_METRICS_REM}"
+    dim_final = f"(CASE WHEN ({no_metrics}) OR NOT ({ok}) THEN '{dd}' ELSE {dim0} END)"
+    qty_final = f"(CASE WHEN ({no_metrics}) OR NOT ({ok}) THEN '{dq}' ELSE {qty0} END)"
+    return dim_final, qty_final
+
+
+def _cat_index_cols() -> dict[str, Column]:
+    """1-based index of each category in the doc's detected-category list
+    (TIER_CATEGORIES order) — indices COUNT invalid categories too, so the
+    builder's skip leaves id gaps exactly like the reference's
+    enumerate+continue."""
+    det = {c: F.col("text").rlike(p).cast("int") for c, p in TIER_CATEGORIES}
+    out: dict[str, Column] = {}
+    running = F.lit(0)
+    for c, _ in TIER_CATEGORIES:
+        out[c] = (running + 1).cast("int")
+        running = running + det[c]
+    return out
+
+
+def _cat_index_sql() -> dict[str, str]:
+    det = {c: f"CAST(regexp_matches(text, '{p}') AS INT)" for c, p in TIER_CATEGORIES}
+    out: dict[str, str] = {}
+    terms: list[str] = []
+    for c, _ in TIER_CATEGORIES:
+        out[c] = "(1 + " + (" + ".join(terms) if terms else "0") + ")"
+        terms.append(det[c])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exposure[].metrics[] assembly (10…ipynb:1022 build_exposure_block)
+# ---------------------------------------------------------------------------
+
+
+def _exposure_oracle() -> str:
+    idx = _cat_index_sql()
+    items = []
+    for c, p in TIER_CATEGORIES:
+        if c not in EXPOSURE_CATEGORIES:
+            continue  # build_exposure_block: invalid category -> continue
+        dim, qty = _dim_qty_sql(c)
+        i = f"CAST({idx[c]} AS VARCHAR)"
+        doc = "CAST(doc_id AS VARCHAR)"
+        cur_part = (
+            f"(CASE WHEN {qty} = 'currency' THEN "
+            f"',\"currency\":\"' || {_currency_sql()} || '\"' ELSE '' END)"
+        )
+        items.append(
+            f"CASE WHEN regexp_matches(text, '{p}') THEN "
+            f"'{{\"id\":\"exposure_' || {doc} || '_' || {i} || '\",\"category\":\"{c}\"'"
+            f" || {_taxonomy_sql_part()}"
+            f" || ',\"metrics\":[{{\"id\":\"metric_' || {doc} || '_' || {i} || '_1\""
+            f",\"dimension\":\"' || {dim} || '\",\"quantity_kind\":\"' || {qty} || '\"'"
+            f" || {cur_part} || '}}]}}' END"
+        )
+    items_list = ",\n          ".join(items)
+    return f"""
+    WITH built AS (
+      SELECT doc_id,
+             list_filter([{items_list}], x -> x IS NOT NULL) AS items
+      FROM documents
+    )
+    SELECT doc_id,
+           '[' || array_to_string(items, ',') || ']' AS exposure_json,
+           CAST(len(items) AS INT) AS n_items
+    FROM built
+    WHERE len(items) > 0
+    """
+
+
+@register(
+    "exposure_block_assembly",
+    _exposure_oracle(),
+    doc="RDLS exposure[].metrics[] nested block assembly (10…ipynb:1022 "
+        "build_exposure_block): per detected category — schema-invalid "
+        "categories skipped WITHOUT renumbering (enumerate+continue id "
+        "gaps), constraint-validated dimension/quantity with the "
+        "category-default fallback when the extractor found no metrics, "
+        "currency field exactly when the quantity kind is monetary, "
+        "taxonomy only when the hint is in the closed codelist. Pure "
+        "struct/filter/to_json column algebra, one scan, zero shuffle; the "
+        "DuckDB oracle builds byte-identical JSON by string concatenation, "
+        "so conditional-key omission is value-checked.",
+)
+def exposure_block_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    idx = _cat_index_cols()
+    doc = _doc_str()
+    cur = _currency_col()
+    tax = _taxonomy_col()
+
+    items = []
+    for c, p in TIER_CATEGORIES:
+        if c not in EXPOSURE_CATEGORIES:
+            continue
+        dim, qty = _dim_qty_cols(c)
+        i = idx[c].cast("string")
+        metric = F.struct(
+            F.concat(F.lit("metric_"), doc, F.lit("_"), i, F.lit("_1")).alias("id"),
+            dim.alias("dimension"),
+            qty.alias("quantity_kind"),
+            F.when(qty == "currency", cur).alias("currency"),
+        )
+        items.append(
+            F.when(
+                F.col("text").rlike(p),
+                F.struct(
+                    F.concat(F.lit("exposure_"), doc, F.lit("_"), i).alias("id"),
+                    F.lit(c).alias("category"),
+                    tax.alias("taxonomy"),
+                    F.array(metric).alias("metrics"),
+                ),
+            )
+        )
+
+    arr = F.filter(F.array(*items), lambda x: x.isNotNull())
+    return (
+        d.select(
+            "doc_id",
+            F.to_json(arr).alias("exposure_json"),
+            F.size(arr).alias("n_items"),
+        )
+        .filter(F.col("n_items") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# vulnerability block assembly (11…ipynb:1265 build_vulnerability_block)
+# ---------------------------------------------------------------------------
+
+# Function types in detection order (the reference's extraction.functions
+# ordering); entry ids enumerate across ALL detected functions, so a doc
+# whose earlier function types fire gives later types higher indices.
+_VULN_FUNC_TYPES = ["vulnerability", "fragility", "damage_to_loss", "engineering_demand"]
+
+# detection rule per type: (text marker, doc_id mod-4 remainder or None)
+_FUNC_DET: dict[str, tuple[str, int | None]] = {
+    "vulnerability": (r"\bvalue\b", 0),
+    "fragility": (r"\brow\b", 1),
+    "damage_to_loss": (r"\bslow\b", 2),
+    "engineering_demand": (r"\bdup\b", None),
+}
+
+# raw attribute tables — each carries at least one codelist-invalid value so
+# the validation fallbacks fire in-corpus ((expr index) -> raw value)
+_APPROACH_RAW = ["empirical", "analytical", "magic"]          # doc_id % 3
+_RELATIONSHIP_RAW = ["discrete", "math_parametric", "fuzzy"]  # (doc_id//2) % 3
+_ANALYSIS_RAW = ["empirical", "probabilistic", "vibes"]       # (doc_id//3) % 3
+_IMPACT_TYPE_RAW = ["direct", "indirect", "sideways"]         # doc_id % 3
+_MODELLING_RAW = ["observed", "simulated", "guessed"]         # (doc_id//2) % 3
+_HAZARD_RAW = ["flood", "earthquake", "cyclone"]              # doc_id % 3 ('cyclone' invalid -> entry skipped)
+_METRIC_RAW = ["damage_ratio", "casualty_count", "bogus_metric"]  # (doc_id//5) % 3
+_QTY_RAW = ["ratio", "count"]                                 # doc_id % 2
+
+# constraint tables (synthetic mirrors of 11…ipynb:626 FUNCTION_TYPE_
+# CONSTRAINTS and :593 IMPACT_METRIC_CONSTRAINTS, populated with real RDLS
+# codelist values): ftype -> (allowed metrics, (default metric, default qty));
+# metric -> (forced quantity_kind, allowed impact types)
+FUNCTION_TYPE_CONSTRAINTS: dict[str, tuple[tuple[str, ...], tuple[str, str]]] = {
+    "vulnerability": (("damage_ratio", "loss_ratio", "probability"), ("loss_ratio", "ratio")),
+    "fragility": (("probability", "damage_index"), ("probability", "probability")),
+    "damage_to_loss": (("damage_ratio", "loss_ratio"), ("loss_ratio", "ratio")),
+    "engineering_demand": (("damage_index",), ("damage_index", "index")),
+}
+IMPACT_METRIC_CONSTRAINTS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "damage_ratio": ("ratio", ("direct",)),
+    "loss_ratio": ("ratio", ("direct", "indirect")),
+    "probability": ("probability", ("direct",)),
+    "damage_index": ("index", ("direct", "total")),
+    "casualty_count": ("count", ("direct", "total")),
+    "asset_loss": ("monetary", ("direct", "indirect")),
+    "displaced_count": ("count", ("direct", "total")),
+}
+_IMPACT_TYPES = ("direct", "indirect", "total")
+DEFAULT_INTENSITY_BY_HAZARD = {"flood": "wd:m", "earthquake": "PGA:g"}
+HAZARD_PROCESS_PRIMARY = {"flood": "fluvial_flood", "earthquake": "ground_motion"}
+
+# first detected RDLS-valid exposure category, in TIER_CATEGORIES order
+_VALID_CAT_ORDER = [
+    (c, p) for c, p in TIER_CATEGORIES if c in EXPOSURE_CATEGORIES
+]
+
+
+def _pick(raw: list[str], idx: Column) -> Column:
+    chain = None
+    for i, v in enumerate(raw):
+        b = (idx == i, F.lit(v))
+        chain = F.when(*b) if chain is None else chain.when(*b)
+    return chain
+
+
+def _validated(raw_col: Column, valid: list[str] | tuple[str, ...], default: str) -> Column:
+    return F.when(raw_col.isin(*valid), raw_col).otherwise(F.lit(default))
+
+
+def _fold_metric(ftype: str, m_idx: int) -> tuple[str, str, tuple[str, ...]]:
+    """Pure-Python mirror of the metric cascade, used ONLY to fold the
+    oracle's expected values (the engine runs the cascade as column algebra
+    — a cascade bug diverges from this fold and fails the value hash).
+    Steps: codelist validation w/ per-type default -> Group 1 (allowed for
+    function type) -> Group 3 (quantity forced by metric)."""
+    allowed, (dmet, dqty) = FUNCTION_TYPE_CONSTRAINTS[ftype]
+    m0 = _METRIC_RAW[m_idx]
+    if m0 not in IMPACT_METRICS:
+        m0 = dmet
+    met = m0 if m0 in allowed else dmet
+    qty, atypes = IMPACT_METRIC_CONSTRAINTS[met]
+    return met, qty, atypes
+
+
+def _fold_impact_type(atypes: tuple[str, ...], it_idx: int) -> str:
+    it = _IMPACT_TYPE_RAW[it_idx]
+    if it not in _IMPACT_TYPES:
+        it = "direct"
+    if it not in atypes:
+        it = "direct" if "direct" in atypes else sorted(atypes)[0]
+    return it
+
+
+def _fold_valid(raw: list[str], valid, default: str) -> list[str]:
+    return [v if v in valid else default for v in raw]
+
+
+def _case_over(idx_sql: str, values: list[str]) -> str:
+    branches = " ".join(
+        f"WHEN {idx_sql} = {i} THEN '{v}'" for i, v in enumerate(values)
+    )
+    return f"(CASE {branches} END)"
+
+
+def _func_det_col(ftype: str) -> Column:
+    p, rem = _FUNC_DET[ftype]
+    det = F.col("text").rlike(p)
+    if rem is not None:
+        det = det & (F.col("doc_id") % 4 == rem)
+    return det
+
+
+def _func_det_sql(ftype: str) -> str:
+    p, rem = _FUNC_DET[ftype]
+    det = f"regexp_matches(text, '{p}')"
+    if rem is not None:
+        det = f"({det} AND doc_id % 4 = {rem})"
+    return det
+
+
+def _first_cat_col() -> Column:
+    chain = None
+    for c, p in _VALID_CAT_ORDER:
+        b = (F.col("text").rlike(p), F.lit(c))
+        chain = F.when(*b) if chain is None else chain.when(*b)
+    return chain
+
+
+def _first_cat_sql() -> str:
+    return (
+        "(CASE "
+        + " ".join(
+            f"WHEN regexp_matches(text, '{p}') THEN '{c}'"
+            for c, p in _VALID_CAT_ORDER
+        )
+        + " END)"
+    )
+
+
+def _vuln_entry_struct(ftype: str, idx: Column) -> Column:
+    """One validated function entry (nullable fields omitted by to_json);
+    the caller gates on detection + the P1+P2 skip."""
+    doc = _doc_str()
+    did = F.col("doc_id")
+    approach = _validated(
+        _pick(_APPROACH_RAW, did % 3),
+        ("analytical", "empirical", "hybrid", "judgement"), "empirical",
+    )
+    relationship = _validated(
+        _pick(_RELATIONSHIP_RAW, (did / 2).cast("long") % 3),
+        ("math_parametric", "math_bespoke", "discrete"), "discrete",
+    )
+    analysis = _validated(
+        _pick(_ANALYSIS_RAW, (did / 3).cast("long") % 3),
+        ("probabilistic", "deterministic", "empirical"), "empirical",
+    )
+    impact_type0 = _validated(
+        _pick(_IMPACT_TYPE_RAW, did % 3), _IMPACT_TYPES, "direct"
+    )
+    modelling = _validated(
+        _pick(_MODELLING_RAW, (did / 2).cast("long") % 3),
+        ("inferred", "observed", "simulated"), "observed",
+    )
+    hazard = F.when(
+        _pick(_HAZARD_RAW, did % 3).isin(*HAZARD_TYPES), _pick(_HAZARD_RAW, did % 3)
+    )
+    intensity = F.when(did % 2 == 0, "wd:m").otherwise(
+        F.when(hazard == "flood", DEFAULT_INTENSITY_BY_HAZARD["flood"]).otherwise(
+            DEFAULT_INTENSITY_BY_HAZARD["earthquake"]
+        )
+    )
+    category = _first_cat_col()
+
+    allowed, (dmet, dqty) = FUNCTION_TYPE_CONSTRAINTS[ftype]
+    metric_raw = _pick(_METRIC_RAW, (did / 5).cast("long") % 3)
+    metric0 = F.when(metric_raw.isin(*IMPACT_METRICS), metric_raw).otherwise(dmet)
+    metric = F.when(metric0.isin(*allowed), metric0).otherwise(F.lit(dmet))
+    # Group 3: quantity forced by metric; impact_type coerced into the
+    # metric's allowed set ('direct' preferred, else lexicographic min)
+    qty = None
+    impact_type = None
+    for m, (eq, atypes) in IMPACT_METRIC_CONSTRAINTS.items():
+        fix = "direct" if "direct" in atypes else sorted(atypes)[0]
+        it = F.when(impact_type0.isin(*atypes), impact_type0).otherwise(F.lit(fix))
+        bq = (metric == m, F.lit(eq))
+        bi = (metric == m, it)
+        qty = F.when(*bq) if qty is None else qty.when(*bq)
+        impact_type = F.when(*bi) if impact_type is None else impact_type.when(*bi)
+
+    type_specific = []
+    if ftype != "vulnerability":
+        scale = F.when(did % 5 == 0, "EMS-98")
+        states = F.when(did % 5 == 0, "DS0-DS5")
+        type_specific += [scale.alias("damage_scale_name"), states.alias("damage_states_names")]
+    if ftype == "engineering_demand":
+        type_specific.append(F.when(did % 2 == 0, "interstory_drift").alias("parameter"))
+
+    return F.struct(
+        approach.alias("approach"),
+        relationship.alias("relationship"),
+        hazard.alias("hazard_primary"),
+        analysis.alias("hazard_analysis_type"),
+        intensity.alias("intensity_measure"),
+        category.alias("category"),
+        impact_type.alias("impact_type"),
+        modelling.alias("impact_modelling"),
+        metric.alias("impact_metric"),
+        qty.alias("quantity_kind"),
+        F.concat(
+            F.lit("vuln_func_"), doc, F.lit(f"_{ftype}_"), idx.cast("string")
+        ).alias("id"),
+        F.when(did % 6 == 0, "coastal_flood").alias("hazard_secondary"),
+        F.when(did % 6 == 1,
+               F.when(hazard == "flood", HAZARD_PROCESS_PRIMARY["flood"])
+                .otherwise(HAZARD_PROCESS_PRIMARY["earthquake"])
+               ).alias("hazard_process_primary"),
+        F.when(did % 12 == 2, "storm_surge").alias("hazard_process_secondary"),
+        _taxonomy_col().alias("taxonomy"),
+        F.when(did % 10 == 6, F.concat(F.lit("derived from doc "), doc)).alias(
+            "analysis_details"
+        ),
+        *type_specific,
+    )
+
+
+def _vuln_entry_sql(ftype: str, idx_sql: str) -> str:
+    doc = "CAST(doc_id AS VARCHAR)"
+    app = _case_over("doc_id % 3", _fold_valid(_APPROACH_RAW,
+        ("analytical", "empirical", "hybrid", "judgement"), "empirical"))
+    rel = _case_over("(doc_id // 2) % 3", _fold_valid(_RELATIONSHIP_RAW,
+        ("math_parametric", "math_bespoke", "discrete"), "discrete"))
+    an = _case_over("(doc_id // 3) % 3", _fold_valid(_ANALYSIS_RAW,
+        ("probabilistic", "deterministic", "empirical"), "empirical"))
+    md = _case_over("(doc_id // 2) % 3", _fold_valid(_MODELLING_RAW,
+        ("inferred", "observed", "simulated"), "observed"))
+    hz = "(CASE WHEN doc_id % 3 = 0 THEN 'flood' WHEN doc_id % 3 = 1 THEN 'earthquake' END)"
+    im = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'wd:m' "
+        "WHEN doc_id % 3 = 0 THEN 'wd:m' ELSE 'PGA:g' END)"
+    )
+    cat = _first_cat_sql()
+    mets = [_fold_metric(ftype, i) for i in range(3)]
+    met = _case_over("(doc_id // 5) % 3", [m for m, _, _ in mets])
+    qty = _case_over("(doc_id // 5) % 3", [q for _, q, _ in mets])
+    it_branches = " ".join(
+        f"WHEN (doc_id // 5) % 3 = {mi} AND doc_id % 3 = {ii} "
+        f"THEN '{_fold_impact_type(mets[mi][2], ii)}'"
+        for mi in range(3)
+        for ii in range(3)
+    )
+    it = f"(CASE {it_branches} END)"
+    opt = []
+    opt.append("(CASE WHEN doc_id % 6 = 0 THEN ',\"hazard_secondary\":\"coastal_flood\"' ELSE '' END)")
+    opt.append(
+        "(CASE WHEN doc_id % 6 = 1 THEN ',\"hazard_process_primary\":\"' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'fluvial_flood' ELSE 'ground_motion' END) || '\"' ELSE '' END)"
+    )
+    opt.append("(CASE WHEN doc_id % 12 = 2 THEN ',\"hazard_process_secondary\":\"storm_surge\"' ELSE '' END)")
+    opt.append(_taxonomy_sql_part())
+    opt.append(
+        "(CASE WHEN doc_id % 10 = 6 THEN ',\"analysis_details\":\"derived from doc ' || "
+        f"{doc} || '\"' ELSE '' END)"
+    )
+    if ftype != "vulnerability":
+        opt.append("(CASE WHEN doc_id % 5 = 0 THEN ',\"damage_scale_name\":\"EMS-98\",\"damage_states_names\":\"DS0-DS5\"' ELSE '' END)")
+    if ftype == "engineering_demand":
+        opt.append("(CASE WHEN doc_id % 2 = 0 THEN ',\"parameter\":\"interstory_drift\"' ELSE '' END)")
+    opts = " || ".join(opt)
+    return (
+        f"'{{\"approach\":\"' || {app} || '\",\"relationship\":\"' || {rel}"
+        f" || '\",\"hazard_primary\":\"' || {hz}"
+        f" || '\",\"hazard_analysis_type\":\"' || {an}"
+        f" || '\",\"intensity_measure\":\"' || {im}"
+        f" || '\",\"category\":\"' || {cat}"
+        f" || '\",\"impact_type\":\"' || {it}"
+        f" || '\",\"impact_modelling\":\"' || {md}"
+        f" || '\",\"impact_metric\":\"' || {met}"
+        f" || '\",\"quantity_kind\":\"' || {qty}"
+        f" || '\",\"id\":\"vuln_func_' || {doc} || '_{ftype}_' || {idx_sql}"
+        f" || '\"' || {opts} || '}}'"
+    )
+
+
+def _socio_entry_struct() -> Column:
+    did = F.col("doc_id")
+    doc = _doc_str()
+    year_raw = (F.lit(1850) + did % 300).cast("int")
+    year = F.when(
+        year_raw.between(1900, 2100), year_raw
+    ).otherwise(F.lit(REFERENCE_YEAR_FALLBACK))
+    scheme = F.when(did % 3 == 0, "CDC-SVI").when(did % 3 == 1, "Custom")
+    return F.struct(
+        F.lit("Poverty Rate").alias("indicator_name"),
+        F.lit("POV_RATE").alias("indicator_code"),
+        F.lit("poverty headcount ratio").alias("description"),
+        F.concat(F.lit("socio_"), doc, F.lit("_1")).alias("id"),
+        year.alias("reference_year"),
+        scheme.alias("scheme"),
+        F.when(did % 7 == 0, "0.5").alias("threshold"),
+        F.when(did % 7 == 1, "https://example.org/ind/POV").alias("uri"),
+    )
+
+
+def _socio_entry_sql() -> str:
+    doc = "CAST(doc_id AS VARCHAR)"
+    year = (
+        f"(CASE WHEN 1850 + doc_id % 300 BETWEEN 1900 AND 2100 "
+        f"THEN 1850 + doc_id % 300 ELSE {REFERENCE_YEAR_FALLBACK} END)"
+    )
+    scheme = (
+        "(CASE WHEN doc_id % 3 = 0 THEN ',\"scheme\":\"CDC-SVI\"' "
+        "WHEN doc_id % 3 = 1 THEN ',\"scheme\":\"Custom\"' ELSE '' END)"
+    )
+    thr = "(CASE WHEN doc_id % 7 = 0 THEN ',\"threshold\":\"0.5\"' ELSE '' END)"
+    uri = "(CASE WHEN doc_id % 7 = 1 THEN ',\"uri\":\"https://example.org/ind/POV\"' ELSE '' END)"
+    return (
+        "'{\"indicator_name\":\"Poverty Rate\",\"indicator_code\":\"POV_RATE\""
+        ",\"description\":\"poverty headcount ratio\",\"id\":\"socio_' || "
+        f"{doc} || '_1\",\"reference_year\":' || CAST({year} AS VARCHAR)"
+        f" || {scheme} || {thr} || {uri} || '}}'"
+    )
+
+
+_SOCIO_DET_COL = lambda: F.col("text").rlike(r"\bcustomer\b") & (F.col("doc_id") % 5 == 0)  # noqa: E731
+_SOCIO_DET_SQL = "(regexp_matches(text, '\\bcustomer\\b') AND doc_id % 5 = 0)"
+
+
+def _vuln_oracle() -> str:
+    # entry skip rule (P1+P2): hazard invalid (doc_id%3=2) or no category
+    skip = f"(doc_id % 3 = 2 OR {_first_cat_sql()} IS NULL)"
+    idx = {}
+    terms: list[str] = []
+    for ft in _VULN_FUNC_TYPES:
+        idx[ft] = "(1 + " + (" + ".join(terms) if terms else "0") + ")"
+        terms.append(f"CAST({_func_det_sql(ft)} AS INT)")
+    fn_parts = ",\n        ".join(
+        f"CASE WHEN {_func_det_sql(ft)} AND NOT {skip} THEN "
+        f"'\"{ft}\":[' || {_vuln_entry_sql(ft, f'CAST({idx[ft]} AS VARCHAR)')} || ']' END"
+        for ft in _VULN_FUNC_TYPES
+    )
+    return f"""
+    WITH parts AS (
+      SELECT doc_id,
+             list_filter([{fn_parts}], x -> x IS NOT NULL) AS fn_parts,
+             CASE WHEN {_SOCIO_DET_SQL} THEN
+               '"socio_economic":[' || {_socio_entry_sql()} || ']' END AS socio
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id,
+             list_filter(
+               [CASE WHEN len(fn_parts) > 0 THEN
+                  '"functions":{{' || array_to_string(fn_parts, ',') || '}}' END,
+                socio], x -> x IS NOT NULL) AS top
+      FROM parts
+    )
+    SELECT doc_id,
+           '{{' || array_to_string(top, ',') || '}}' AS vulnerability_json,
+           CAST(len(top) AS INT) AS n_parts
+    FROM blocks
+    WHERE len(top) > 0
+    """
+
+
+@register(
+    "vulnerability_block_assembly",
+    _vuln_oracle(),
+    doc="RDLS vulnerability block assembly (11…ipynb:1265 "
+        "build_vulnerability_block): functions{} keyed by the four function "
+        "types with the full validation cascade — codelist fallbacks, "
+        "Group 1 impact_metric-allowed-for-function-type with per-type "
+        "defaults, Group 3 quantity_kind + impact_type forced by the "
+        "metric's constraint row, the P1+P2 skip of entries with no "
+        "determinable hazard/category, empty function-type keys dropped — "
+        "plus socio_economic[] entries with the 1900-2100 reference-year "
+        "clamp (11…ipynb:1391; now-year default injected as "
+        "REFERENCE_YEAR_FALLBACK). Engine = struct algebra + to_json null "
+        "omission; oracle = byte-identical JSON with the cascade FOLDED to "
+        "expected values in plain Python, so an engine cascade bug fails "
+        "the value hash.",
+)
+def vulnerability_block_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    skip = (F.col("doc_id") % 3 == 2) | _first_cat_col().isNull()
+
+    idx_cols: dict[str, Column] = {}
+    running = F.lit(0)
+    for ft in _VULN_FUNC_TYPES:
+        idx_cols[ft] = (running + 1).cast("int")
+        running = running + _func_det_col(ft).cast("int")
+
+    fn_fields = [
+        F.when(
+            _func_det_col(ft) & ~skip, F.array(_vuln_entry_struct(ft, idx_cols[ft]))
+        ).alias(ft)
+        for ft in _VULN_FUNC_TYPES
+    ]
+    any_fn = None
+    for ft in _VULN_FUNC_TYPES:
+        det = _func_det_col(ft) & ~skip
+        any_fn = det if any_fn is None else (any_fn | det)
+
+    socio_det = _SOCIO_DET_COL()
+    block = F.struct(
+        F.when(any_fn, F.struct(*fn_fields)).alias("functions"),
+        F.when(socio_det, F.array(_socio_entry_struct())).alias("socio_economic"),
+    )
+    n_parts = any_fn.cast("int") + socio_det.cast("int")
+    return (
+        d.select(
+            "doc_id",
+            F.to_json(block).alias("vulnerability_json"),
+            n_parts.alias("n_parts"),
+        )
+        .filter(F.col("n_parts") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# loss block assembly (11…ipynb:3226 build_loss_block)
+# ---------------------------------------------------------------------------
+
+# Group 1 constraint (11…ipynb:2649 VALID_ASSET_TRIPLETS, real codelist
+# values): asset_category -> allowed asset_dimensions, first = fallback.
+VALID_ASSET_TRIPLETS: dict[str, tuple[str, ...]] = {
+    "buildings": ("structure", "content"),
+    "population": ("population",),
+    "agriculture": ("content", "product"),
+}
+
+_LOSS_HAZARD_RAW = ["flood", "earthquake", "hail"]        # (doc_id+e) % 3 ('hail' invalid -> skip)
+_LOSS_ACAT_RAW = ["buildings", "population", "roads"]     # (doc_id+2e) % 3 ('roads' invalid -> skip)
+_LOSS_ADIM_RAW = ["structure", "population", "content"]   # (doc_id//2+e) % 3
+_LOSS_METRIC_RAW = ["asset_loss", "casualty_count", "made_up_metric"]  # (doc_id//3+e) % 3
+_LOSS_ITYPE_RAW = ["direct", "total", "oblique"]          # (doc_id+e) % 3
+_LOSS_MODEL_RAW = ["observed", "inferred", "dreamt"]      # (doc_id//2+e) % 3
+_LOSS_LTYPE_RAW = ["ground_up", "insured", "imaginary"]   # (doc_id//4+e) % 3
+_LOSS_APPR_RAW = ["empirical", "judgement", "wild"]       # (doc_id//5+e) % 3
+_LOSS_FREQ_RAW = ["empirical", "probabilistic", "never"]  # (doc_id//6+e) % 3
+
+_LOSS_VALID_LTYPES = ("ground_up", "insured", "gross", "count", "net_precat", "net_postcat")
+_LOSS_VALID_APPR = ("analytical", "empirical", "hybrid", "judgement")
+_LOSS_VALID_FREQ = ("probabilistic", "deterministic", "empirical")
+_LOSS_VALID_MODEL = ("inferred", "observed", "simulated")
+
+
+def _loss_det_col(e: int) -> Column:
+    if e == 1:
+        return F.col("text").rlike(r"\bline\b") & (F.col("doc_id") % 3 != 1)
+    return F.col("doc_id") % 7 == 0
+
+
+def _loss_det_sql(e: int) -> str:
+    if e == 1:
+        return "(regexp_matches(text, '\\bline\\b') AND doc_id % 3 <> 1)"
+    return "(doc_id % 7 = 0)"
+
+
+def _loss_metric_fold(m_idx: int) -> tuple[str, str, tuple[str, ...]]:
+    m0 = _LOSS_METRIC_RAW[m_idx]
+    if m0 not in IMPACT_METRICS:
+        m0 = "asset_loss"  # 11…ipynb:3253 default
+    qty, atypes = IMPACT_METRIC_CONSTRAINTS[m0]
+    return m0, qty, atypes
+
+
+def _loss_itype_fold(atypes: tuple[str, ...], it_idx: int) -> str:
+    it = _LOSS_ITYPE_RAW[it_idx]
+    if it not in _IMPACT_TYPES:
+        it = "direct"
+    if it not in atypes:
+        it = "direct" if "direct" in atypes else sorted(atypes)[0]
+    return it
+
+
+def _loss_entry_struct(e: int, idx: Column) -> Column:
+    did = F.col("doc_id")
+    doc = _doc_str()
+    hz_raw = _pick(_LOSS_HAZARD_RAW, (did + e) % 3)
+    hazard = F.when(hz_raw.isin(*HAZARD_TYPES), hz_raw)
+    acat_raw = _pick(_LOSS_ACAT_RAW, (did + 2 * e) % 3)
+    acat = F.when(acat_raw.isin(*EXPOSURE_CATEGORIES), acat_raw)
+    adim_raw = _pick(_LOSS_ADIM_RAW, ((did / 2).cast("long") + e) % 3)
+    # Group 1: dimension must be allowed for the category, else first allowed
+    adim = None
+    for c, allowed in VALID_ASSET_TRIPLETS.items():
+        fixed = F.when(adim_raw.isin(*allowed), adim_raw).otherwise(allowed[0])
+        b = (acat == c, fixed)
+        adim = F.when(*b) if adim is None else adim.when(*b)
+
+    metric_raw = _pick(_LOSS_METRIC_RAW, ((did / 3).cast("long") + e) % 3)
+    metric = F.when(metric_raw.isin(*IMPACT_METRICS), metric_raw).otherwise("asset_loss")
+    itype0 = _validated(_pick(_LOSS_ITYPE_RAW, (did + e) % 3), _IMPACT_TYPES, "direct")
+    qty = None
+    itype = None
+    for m, (eq, atypes) in IMPACT_METRIC_CONSTRAINTS.items():
+        fix = "direct" if "direct" in atypes else sorted(atypes)[0]
+        it = F.when(itype0.isin(*atypes), itype0).otherwise(F.lit(fix))
+        bq = (metric == m, F.lit(eq))
+        bi = (metric == m, it)
+        qty = F.when(*bq) if qty is None else qty.when(*bq)
+        itype = F.when(*bi) if itype is None else itype.when(*bi)
+
+    modelling = _validated(
+        _pick(_LOSS_MODEL_RAW, ((did / 2).cast("long") + e) % 3), _LOSS_VALID_MODEL, "observed")
+    ltype = _validated(
+        _pick(_LOSS_LTYPE_RAW, ((did / 4).cast("long") + e) % 3), _LOSS_VALID_LTYPES, "ground_up")
+    appr = _validated(
+        _pick(_LOSS_APPR_RAW, ((did / 5).cast("long") + e) % 3), _LOSS_VALID_APPR, "empirical")
+    freq = _validated(
+        _pick(_LOSS_FREQ_RAW, ((did / 6).cast("long") + e) % 3), _LOSS_VALID_FREQ, "empirical")
+    cur = _currency_col()
+
+    impact_and_losses = F.struct(
+        itype.alias("impact_type"),
+        modelling.alias("impact_modelling"),
+        metric.alias("impact_metric"),
+        qty.alias("quantity_kind"),
+        ltype.alias("loss_type"),
+        appr.alias("loss_approach"),
+        freq.alias("loss_frequency_type"),
+        F.when((qty == "monetary") & (cur != ""), cur).alias("currency"),
+    )
+    lineage = F.when(
+        did % 4 < 2,
+        F.struct(
+            F.when(did % 4 == 0, F.concat(F.lit("hzd_"), doc)).alias("hazard_dataset"),
+            F.when(did % 4 == 1, F.concat(F.lit("exp_"), doc)).alias("exposure_dataset"),
+        ),
+    )
+    return F.struct(
+        F.concat(F.lit("loss_"), doc, F.lit("_"), idx.cast("string")).alias("id"),
+        hazard.alias("hazard_type"),
+        acat.alias("asset_category"),
+        adim.alias("asset_dimension"),
+        impact_and_losses.alias("impact_and_losses"),
+        F.when(did % 6 == 2,
+               F.when(hazard == "flood", HAZARD_PROCESS_PRIMARY["flood"])
+                .otherwise(HAZARD_PROCESS_PRIMARY["earthquake"])
+               ).alias("hazard_process"),
+        lineage.alias("lineage"),
+        F.when(did % 5 == 2, F.concat(F.lit("loss estimate for doc "), doc)).alias(
+            "description"
+        ),
+    )
+
+
+def _loss_skip_sql(e: int) -> str:
+    """P1+P2: hazard invalid OR asset_category invalid (asset_dimension is
+    always determinable here: raws are valid dims and Group 1 repairs)."""
+    return f"((doc_id + {e}) % 3 = 2 OR (doc_id + {2 * e}) % 3 = 2)"
+
+
+def _loss_entry_sql(e: int, idx_sql: str) -> str:
+    doc = "CAST(doc_id AS VARCHAR)"
+    hz = f"(CASE WHEN (doc_id + {e}) % 3 = 0 THEN 'flood' WHEN (doc_id + {e}) % 3 = 1 THEN 'earthquake' END)"
+    acat = f"(CASE WHEN (doc_id + {2 * e}) % 3 = 0 THEN 'buildings' WHEN (doc_id + {2 * e}) % 3 = 1 THEN 'population' END)"
+    # fold Group 1 over (acat x adim_raw)
+    adim_branches = " ".join(
+        f"WHEN (doc_id + {2 * e}) % 3 = {ci} AND (doc_id // 2 + {e}) % 3 = {di} THEN "
+        f"'{(_LOSS_ADIM_RAW[di] if _LOSS_ADIM_RAW[di] in VALID_ASSET_TRIPLETS[cat] else VALID_ASSET_TRIPLETS[cat][0])}'"
+        for ci, cat in [(0, "buildings"), (1, "population")]
+        for di in range(3)
+    )
+    adim = f"(CASE {adim_branches} END)"
+    mets = [_loss_metric_fold(i) for i in range(3)]
+    met = _case_over(f"(doc_id // 3 + {e}) % 3", [m for m, _, _ in mets])
+    qty = _case_over(f"(doc_id // 3 + {e}) % 3", [q for _, q, _ in mets])
+    it_branches = " ".join(
+        f"WHEN (doc_id // 3 + {e}) % 3 = {mi} AND (doc_id + {e}) % 3 = {ii} "
+        f"THEN '{_loss_itype_fold(mets[mi][2], ii)}'"
+        for mi in range(3)
+        for ii in range(3)
+    )
+    it = f"(CASE {it_branches} END)"
+    md = _case_over(f"(doc_id // 2 + {e}) % 3",
+                    _fold_valid(_LOSS_MODEL_RAW, _LOSS_VALID_MODEL, "observed"))
+    lt = _case_over(f"(doc_id // 4 + {e}) % 3",
+                    _fold_valid(_LOSS_LTYPE_RAW, _LOSS_VALID_LTYPES, "ground_up"))
+    ap = _case_over(f"(doc_id // 5 + {e}) % 3",
+                    _fold_valid(_LOSS_APPR_RAW, _LOSS_VALID_APPR, "empirical"))
+    fq = _case_over(f"(doc_id // 6 + {e}) % 3",
+                    _fold_valid(_LOSS_FREQ_RAW, _LOSS_VALID_FREQ, "empirical"))
+    cur_part = (
+        f"(CASE WHEN {qty} = 'monetary' AND {_currency_sql()} <> '' THEN "
+        f"',\"currency\":\"' || {_currency_sql()} || '\"' ELSE '' END)"
+    )
+    hp = (
+        "(CASE WHEN doc_id % 6 = 2 THEN ',\"hazard_process\":\"' || "
+        f"(CASE WHEN (doc_id + {e}) % 3 = 0 THEN 'fluvial_flood' ELSE 'ground_motion' END)"
+        " || '\"' ELSE '' END)"
+    )
+    lineage = (
+        "(CASE WHEN doc_id % 4 = 0 THEN ',\"lineage\":{\"hazard_dataset\":\"hzd_' || "
+        f"{doc} || '\"}}' "
+        "WHEN doc_id % 4 = 1 THEN ',\"lineage\":{\"exposure_dataset\":\"exp_' || "
+        f"{doc} || '\"}}' ELSE '' END)"
+    )
+    desc = (
+        "(CASE WHEN doc_id % 5 = 2 THEN ',\"description\":\"loss estimate for doc ' || "
+        f"{doc} || '\"' ELSE '' END)"
+    )
+    return (
+        f"'{{\"id\":\"loss_' || {doc} || '_' || {idx_sql}"
+        f" || '\",\"hazard_type\":\"' || {hz}"
+        f" || '\",\"asset_category\":\"' || {acat}"
+        f" || '\",\"asset_dimension\":\"' || {adim}"
+        f" || '\",\"impact_and_losses\":{{\"impact_type\":\"' || {it}"
+        f" || '\",\"impact_modelling\":\"' || {md}"
+        f" || '\",\"impact_metric\":\"' || {met}"
+        f" || '\",\"quantity_kind\":\"' || {qty}"
+        f" || '\",\"loss_type\":\"' || {lt}"
+        f" || '\",\"loss_approach\":\"' || {ap}"
+        f" || '\",\"loss_frequency_type\":\"' || {fq}"
+        f" || '\"' || {cur_part} || '}}'"
+        f" || {hp} || {lineage} || {desc} || '}}'"
+    )
+
+
+def _loss_oracle() -> str:
+    idx1 = "1"
+    idx2 = f"(1 + CAST({_loss_det_sql(1)} AS INT))"
+    entries = ",\n        ".join(
+        f"CASE WHEN {_loss_det_sql(e)} AND NOT {_loss_skip_sql(e)} THEN "
+        f"{_loss_entry_sql(e, f'CAST({idx} AS VARCHAR)')} END"
+        for e, idx in ((1, idx1), (2, idx2))
+    )
+    return f"""
+    WITH built AS (
+      SELECT doc_id,
+             list_filter([{entries}], x -> x IS NOT NULL) AS entries
+      FROM documents
+    )
+    SELECT doc_id,
+           '{{"losses":[' || array_to_string(entries, ',') || ']}}' AS loss_json,
+           CAST(len(entries) AS INT) AS n_losses
+    FROM built
+    WHERE len(entries) > 0
+    """
+
+
+@register(
+    "loss_block_assembly",
+    _loss_oracle(),
+    doc="RDLS loss block assembly (11…ipynb:3226 build_loss_block): "
+        "losses[] entries each with the 7-required-field impact_and_losses "
+        "sub-object, Group 1 asset_dimension-allowed-for-asset_category "
+        "re-validation (VALID_ASSET_TRIPLETS first-entry fallback), Group 2 "
+        "quantity_kind + impact_type forced by the metric constraint row, "
+        "currency only when valid AND monetary, the P1+P2 skip of entries "
+        "with no determinable hazard/asset (ids keep gaps), optional "
+        "hazard_process / lineage / description keys. Same engine/oracle "
+        "split as the vulnerability block.",
+)
+def loss_block_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    skips = {
+        e: (((F.col("doc_id") + e) % 3 == 2) | ((F.col("doc_id") + 2 * e) % 3 == 2))
+        for e in (1, 2)
+    }
+    idx1 = F.lit(1)
+    idx2 = (F.lit(1) + _loss_det_col(1).cast("int")).cast("int")
+    entries = F.filter(
+        F.array(
+            F.when(_loss_det_col(1) & ~skips[1], _loss_entry_struct(1, idx1)),
+            F.when(_loss_det_col(2) & ~skips[2], _loss_entry_struct(2, idx2)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    block = F.struct(entries.alias("losses"))
+    return (
+        d.select(
+            "doc_id",
+            F.to_json(block).alias("loss_json"),
+            F.size(entries).alias("n_losses"),
+        )
+        .filter(F.col("n_losses") > 0)
+    )

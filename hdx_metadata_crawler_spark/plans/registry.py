@@ -69,4 +69,5 @@ def _ensure_loaded() -> None:
     from . import queries_multimodal  # noqa: F401
     from . import queries_quality  # noqa: F401
     from . import queries_integration  # noqa: F401
+    from . import queries_blocks  # noqa: F401
     _LOADED = True
