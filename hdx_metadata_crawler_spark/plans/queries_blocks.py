@@ -989,3 +989,423 @@ def loss_block_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_losses") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# NB06 translate step: complete base RDLS records (06…ipynb:1343-1520
+# build_rdls_record) — id/stem composition (slug + org token + iso3 +
+# hazard suffix + component-priority prefix), component gate, spatial
+# inference, license mapping, attributions, resources, links, details.
+# ---------------------------------------------------------------------------
+
+from .queries_integration import COMPONENT_ORDER, PREFIX_MAP, _FLAG_MOD  # noqa: E402
+from ..functions.rdls_schema import COUNTRIES  # noqa: E402
+
+_ISO25 = COUNTRIES[:25]  # the synthetic country dim (J8) mapped to real ISO3
+_LICENSE_RAW = [
+    "Creative Commons Attribution International",
+    "Open Database License (ODbL)",
+    "Custom License",
+]
+_SCHEMA_URL = "https://docs.riskdatalibrary.org/en/0__3__0/rdls_schema.json"
+# hazard-type inference for the filename suffix (06…ipynb infer_hazard_types)
+_HZ_INFER = [("flood", r"\bhash\b"), ("earthquake", r"\bspark\b")]
+
+
+def _slug(col: Column, max_len: int) -> Column:
+    s = F.regexp_replace(F.lower(col), "[^a-z0-9]+", "_")
+    return F.regexp_replace(F.substring(s, 1, max_len), "^_+|_+$", "")
+
+
+def _slug_sql(expr: str, max_len: int) -> str:
+    s = f"regexp_replace(lower({expr}), '[^a-z0-9]+', '_', 'g')"
+    return f"regexp_replace(substr({s}, 1, {max_len}), '^_+|_+$', '', 'g')"
+
+
+def _risk_flags() -> dict[str, Column]:
+    return {c: F.col("doc_id") % _FLAG_MOD[c] == 0 for c in COMPONENT_ORDER}
+
+
+def _risk_flags_sql() -> dict[str, str]:
+    return {c: f"(doc_id % {_FLAG_MOD[c]} = 0)" for c in COMPONENT_ORDER}
+
+
+def _translate_parts():
+    """All build_rdls_record columns, shared by translate_records and the
+    full-schema validation query."""
+    did = F.col("doc_id")
+    doc = _doc_str()
+    flags = _risk_flags()
+    risk_arr = F.filter(
+        F.array(*[F.when(flags[c], F.lit(c)) for c in COMPONENT_ORDER]),
+        lambda x: x.isNotNull(),
+    )
+    has_he = flags["hazard"] | flags["exposure"]
+    has_vl = flags["vulnerability"] | flags["loss"]
+    blocked = (F.size(risk_arr) == 0) | (has_vl & ~has_he)
+
+    title = F.regexp_replace(F.trim(F.substring("text", 1, 50)), r"\s+", " ")
+    notes = F.trim(F.substring("text", 51, 120))
+    day = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    details = F.concat(
+        F.lit("HDX dataset: "), doc, F.lit(" | Organization: "), F.col("source"),
+        F.lit(" | Last modified: 2025-01-"), day,
+    )
+
+    n_c = (did % 4).cast("int")
+    iso = F.array(*[F.lit(c) for c in _ISO25])
+    countries = F.when(
+        n_c > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_c - 1),
+            lambda j: F.element_at(iso, ((did + j) % 25 + 1).cast("int")),
+        ),
+    )
+    scale = (
+        F.when(n_c == 0, "global").when(n_c == 1, "national").otherwise("regional")
+    )
+    spatial = F.struct(scale.alias("scale"), countries.alias("countries"))
+
+    org_token = _slug(F.col("source"), 20)
+    iso3_tok = F.when(n_c == 1, F.lower(F.element_at(iso, (did % 25 + 1).cast("int")))).otherwise("")
+    dataset_slug = _slug(title, 48)
+    entity_token = F.concat_ws(
+        "_",
+        *[F.when(t != "", t) for t in (org_token, iso3_tok, dataset_slug)],
+    )
+
+    prefix = None
+    for comp in ["loss", "vulnerability", "exposure", "hazard"]:
+        b = (flags[comp], F.lit(PREFIX_MAP[comp]))
+        prefix = F.when(*b) if prefix is None else prefix.when(*b)
+    hz_first = None
+    for hz, p in _HZ_INFER:
+        b = (F.col("text").rlike(p), F.lit("_" + hz))
+        hz_first = F.when(*b) if hz_first is None else hz_first.when(*b)
+    hz_suffix = F.when(
+        flags["hazard"] | flags["loss"], F.coalesce(hz_first, F.lit(""))
+    ).otherwise("")
+    stem = F.concat(prefix, F.lit("-hdx_"), entity_token, hz_suffix)
+
+    lic_raw = _pick(_LICENSE_RAW, did % 3)
+    license_mapped = (
+        F.when(lic_raw.contains("Creative Commons"), "CC-BY-4.0")
+        .when(lic_raw.contains("ODbL"), "ODbL-1.0")
+        .otherwise("Custom")
+    )
+
+    page_url = F.concat(F.lit("https://data.humdata.org/dataset/"), doc)
+    attributions = F.array(
+        F.struct(
+            F.concat(F.lit("attr_"), doc, F.lit("_pub")).alias("id"),
+            F.struct(F.col("source").alias("name")).alias("entity"),
+            F.lit("publisher").alias("role"),
+        ),
+        F.struct(
+            F.concat(F.lit("attr_"), doc, F.lit("_cre")).alias("id"),
+            F.struct(F.col("source").alias("name")).alias("entity"),
+            F.lit("creator").alias("role"),
+        ),
+        F.struct(
+            F.concat(F.lit("attr_"), doc, F.lit("_con")).alias("id"),
+            F.struct(F.lit("HDX").alias("name")).alias("entity"),
+            F.lit("contact_point").alias("role"),
+        ),
+    )
+
+    def resource(i: int, rtitle: str, fmt: str):
+        return F.struct(
+            F.concat(F.lit("res_"), doc, F.lit(f"_{i}")).alias("id"),
+            F.lit(rtitle).alias("title"),
+            F.lit("Primary resource" if i == 1 else "Metadata resource").alias(
+                "description"
+            ),
+            F.lit(fmt).alias("data_format"),
+            F.concat(page_url, F.lit(f"/resource/{i}")).alias("download_url"),
+        )
+
+    resources = F.filter(
+        F.array(
+            resource(1, "data_1.csv", "CSV (csv)"),
+            F.when(did % 2 == 0, resource(2, "meta_2.json", "JSON (json)")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    links = F.array(
+        F.struct(F.lit(_SCHEMA_URL).alias("href"), F.lit("describedby").alias("rel")),
+        F.struct(page_url.alias("href"), F.lit("source").alias("rel")),
+    )
+    return {
+        "blocked": blocked,
+        "stem": stem,
+        "title": title,
+        "notes": notes,
+        "risk_arr": risk_arr,
+        "details": details,
+        "spatial": spatial,
+        "license": license_mapped,
+        "attributions": attributions,
+        "resources": resources,
+        "links": links,
+    }
+
+
+def _record_struct(parts: dict, risk_override: Column | None = None,
+                   drop_attributions: Column | None = None) -> Column:
+    """The rdls_ds dict in the reference's key order (None values dropped by
+    to_json); optional fault-injection hooks for the validation query."""
+    risk = parts["risk_arr"] if risk_override is None else risk_override
+    attrs = parts["attributions"]
+    if drop_attributions is not None:
+        attrs = F.when(~drop_attributions, attrs)
+    return F.struct(
+        parts["stem"].alias("id"),
+        parts["title"].alias("title"),
+        F.when(parts["notes"] != "", parts["notes"]).alias("description"),
+        risk.alias("risk_data_type"),
+        parts["details"].alias("details"),
+        parts["spatial"].alias("spatial"),
+        parts["license"].alias("license"),
+        attrs.alias("attributions"),
+        parts["resources"].alias("resources"),
+        parts["links"].alias("links"),
+    )
+
+
+def _translate_sql_parts() -> dict[str, str]:
+    doc = "CAST(doc_id AS VARCHAR)"
+    flags = _risk_flags_sql()
+    risk_items = ", ".join(
+        f"CASE WHEN {flags[c]} THEN '\"{c}\"' END" for c in COMPONENT_ORDER
+    )
+    risk_list = f"list_filter([{risk_items}], x -> x IS NOT NULL)"
+    has_he = f"({flags['hazard']} OR {flags['exposure']})"
+    has_vl = f"({flags['vulnerability']} OR {flags['loss']})"
+    blocked = f"(len({risk_list}) = 0 OR ({has_vl} AND NOT {has_he}))"
+
+    title = "regexp_replace(trim(substr(text, 1, 50)), '\\s+', ' ', 'g')"
+    notes = "trim(substr(text, 51, 120))"
+    day = "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+    details = (
+        f"'HDX dataset: ' || {doc} || ' | Organization: ' || source || "
+        f"' | Last modified: 2025-01-' || {day}"
+    )
+    iso = "[" + ", ".join(f"'{c}'" for c in _ISO25) + "]"
+    c_at = lambda j: f"({iso})[((doc_id + {j}) % 25) + 1]"  # noqa: E731
+    countries_json = (
+        "(CASE doc_id % 4 "
+        f"WHEN 1 THEN ',\"countries\":[\"' || {c_at(0)} || '\"]' "
+        f"WHEN 2 THEN ',\"countries\":[\"' || {c_at(0)} || '\",\"' || {c_at(1)} || '\"]' "
+        f"WHEN 3 THEN ',\"countries\":[\"' || {c_at(0)} || '\",\"' || {c_at(1)} || '\",\"' || {c_at(2)} || '\"]' "
+        "ELSE '' END)"
+    )
+    scale = (
+        "(CASE WHEN doc_id % 4 = 0 THEN 'global' WHEN doc_id % 4 = 1 THEN "
+        "'national' ELSE 'regional' END)"
+    )
+    spatial = f"'{{\"scale\":\"' || {scale} || '\"' || {countries_json} || '}}'"
+
+    org_token = _slug_sql("source", 20)
+    iso3_tok = f"(CASE WHEN doc_id % 4 = 1 THEN lower({c_at(0)}) ELSE '' END)"
+    dataset_slug = _slug_sql(title, 48)
+    entity_token = (
+        f"concat_ws('_', nullif({org_token}, ''), nullif({iso3_tok}, ''), "
+        f"nullif({dataset_slug}, ''))"
+    )
+    prefix = (
+        "(CASE "
+        + " ".join(
+            f"WHEN {flags[c]} THEN '{PREFIX_MAP[c]}'"
+            for c in ["loss", "vulnerability", "exposure", "hazard"]
+        )
+        + " END)"
+    )
+    hz_first = (
+        "(CASE "
+        + " ".join(
+            f"WHEN regexp_matches(text, '{p}') THEN '_{hz}'" for hz, p in _HZ_INFER
+        )
+        + " ELSE '' END)"
+    )
+    hz_suffix = (
+        f"(CASE WHEN {flags['hazard']} OR {flags['loss']} THEN {hz_first} "
+        "ELSE '' END)"
+    )
+    stem = f"{prefix} || '-hdx_' || {entity_token} || {hz_suffix}"
+    lic = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'CC-BY-4.0' "
+        "WHEN doc_id % 3 = 1 THEN 'ODbL-1.0' ELSE 'Custom' END)"
+    )
+    page = f"'https://data.humdata.org/dataset/' || {doc}"
+    attributions = (
+        f"'[{{\"id\":\"attr_' || {doc} || '_pub\",\"entity\":{{\"name\":\"' || source || "
+        f"'\"}},\"role\":\"publisher\"}},{{\"id\":\"attr_' || {doc} || "
+        f"'_cre\",\"entity\":{{\"name\":\"' || source || '\"}},\"role\":\"creator\"}},"
+        f"{{\"id\":\"attr_' || {doc} || '_con\",\"entity\":{{\"name\":\"HDX\"}},"
+        f"\"role\":\"contact_point\"}}]'"
+    )
+    res1 = (
+        f"'{{\"id\":\"res_' || {doc} || '_1\",\"title\":\"data_1.csv\","
+        f"\"description\":\"Primary resource\",\"data_format\":\"CSV (csv)\","
+        f"\"download_url\":\"' || {page} || '/resource/1\"}}'"
+    )
+    res2 = (
+        f"'{{\"id\":\"res_' || {doc} || '_2\",\"title\":\"meta_2.json\","
+        f"\"description\":\"Metadata resource\",\"data_format\":\"JSON (json)\","
+        f"\"download_url\":\"' || {page} || '/resource/2\"}}'"
+    )
+    resources = (
+        f"(CASE WHEN doc_id % 2 = 0 THEN '[' || {res1} || ',' || {res2} || ']' "
+        f"ELSE '[' || {res1} || ']' END)"
+    )
+    links = (
+        f"'[{{\"href\":\"{_SCHEMA_URL}\",\"rel\":\"describedby\"}},"
+        f"{{\"href\":\"' || {page} || '\",\"rel\":\"source\"}}]'"
+    )
+    risk_json = f"'[' || array_to_string({risk_list}, ',') || ']'"
+    desc_part = (
+        f"(CASE WHEN {notes} <> '' THEN ',\"description\":\"' || {notes} || '\"' "
+        "ELSE '' END)"
+    )
+    return {
+        "blocked": blocked,
+        "stem": stem,
+        "title": title,
+        "desc_part": desc_part,
+        "risk_json": risk_json,
+        "details": details,
+        "spatial": spatial,
+        "license": lic,
+        "attributions": attributions,
+        "resources": resources,
+        "links": links,
+    }
+
+
+def _record_json_sql(p: dict[str, str], risk_json: str | None = None,
+                     attributions_part: str | None = None) -> str:
+    risk = risk_json or p["risk_json"]
+    attrs = (
+        attributions_part
+        if attributions_part is not None
+        else f"',\"attributions\":' || {p['attributions']}"
+    )
+    return (
+        f"'{{\"id\":\"' || {p['stem']} || '\",\"title\":\"' || {p['title']} || '\"'"
+        f" || {p['desc_part']}"
+        f" || ',\"risk_data_type\":' || {risk}"
+        f" || ',\"details\":\"' || {p['details']} || '\"'"
+        f" || ',\"spatial\":' || {p['spatial']}"
+        f" || ',\"license\":\"' || {p['license']} || '\"'"
+        f" || {attrs}"
+        f" || ',\"resources\":' || {p['resources']}"
+        f" || ',\"links\":' || {p['links']} || '}}'"
+    )
+
+
+def _translate_oracle() -> str:
+    p = _translate_sql_parts()
+    return f"""
+    SELECT doc_id,
+           {p['stem']} AS rdls_id,
+           {_record_json_sql(p)} AS record_json
+    FROM documents
+    WHERE NOT {p['blocked']}
+    """
+
+
+@register(
+    "translate_records",
+    _translate_oracle(),
+    doc="NB06 translate step (06…ipynb:1343-1520 build_rdls_record): "
+        "complete base RDLS records with all 7 schema-required fields — "
+        "component gate (empty or standalone-V/L blocked), id stem from "
+        "component-priority prefix + org/iso3/title slug tokens + inferred "
+        "hazard suffix, spatial scale/countries from the real-ISO3 dim "
+        "(J8), license mapping, publisher/creator/contact_point "
+        "attributions, resources, describedby/source links, details line. "
+        "Pure column algebra + to_json; the oracle rebuilds the record "
+        "byte-for-byte. Collision-proofing of stems (out_path.exists() "
+        "suffixing) is not needed on the deterministic corpus; documented "
+        "here for parity.",
+)
+def translate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    parts = _translate_parts()
+    return (
+        d.filter(~parts["blocked"])
+        .select(
+            "doc_id",
+            parts["stem"].alias("rdls_id"),
+            F.to_json(_record_struct(parts)).alias("record_json"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-schema validation: the translate output under the REAL rdls v0.3
+# schema (7 required fields + 37 $defs codelists), via the iterator pandas
+# UDF, with deterministic fault injection so both verdict polarities and the
+# _summarize_errors buckets are oracle-checked.
+# ---------------------------------------------------------------------------
+
+from ..functions.rdls_schema import FULL_RDLS_SCHEMA  # noqa: E402
+from ..functions.schema_validate import jsonschema_validate  # noqa: E402
+from .queries_quality import _ENUM_MSG_SQL  # noqa: E402
+
+_FAULT_MOD = 17
+_FAULT_MISSING, _FAULT_ENUM = 4, 9
+
+
+@register(
+    "full_schema_validation",
+    f"""
+    WITH translated AS ({_translate_oracle()})
+    SELECT doc_id,
+           (doc_id % {_FAULT_MOD} NOT IN ({_FAULT_MISSING}, {_FAULT_ENUM}))
+             AS is_valid,
+           CASE WHEN doc_id % {_FAULT_MOD} IN ({_FAULT_MISSING}, {_FAULT_ENUM})
+                THEN 1 ELSE 0 END AS n_errors,
+           CASE WHEN doc_id % {_FAULT_MOD} = {_FAULT_MISSING}
+                  THEN 'missing:attributions'
+                WHEN doc_id % {_FAULT_MOD} = {_FAULT_ENUM}
+                  THEN 'enum:{_ENUM_MSG_SQL}'
+                ELSE '' END AS error_summary
+    FROM translated
+    """,
+    doc="Draft2020-12 validation of the NB06 translate output against the "
+        "FULL RDLS v0.3 schema (functions/rdls_schema.py: 7 required "
+        "top-level fields, all 37 $defs with closed codelists — replacing "
+        "round 2's miniature schema literal; 06…ipynb:1701, 13…ipynb:523). "
+        "Iterator pandas UDF compiles the validator once per task; error "
+        "summaries use the 13…ipynb:1129 _summarize_errors buckets. Two "
+        "deterministic fault classes (required-field drop, codelist "
+        "violation) exercise both polarities; the oracle derives expected "
+        "verdicts from the construction rule, so the engine runs the REAL "
+        "jsonschema library against ground truth.",
+)
+def full_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    parts = _translate_parts()
+    did = F.col("doc_id")
+    risk = F.when(
+        did % _FAULT_MOD == _FAULT_ENUM, F.array(F.lit("hazardous"))
+    ).otherwise(parts["risk_arr"])
+    record = _record_struct(
+        parts,
+        risk_override=risk,
+        drop_attributions=(did % _FAULT_MOD == _FAULT_MISSING),
+    )
+    validated = (
+        d.filter(~parts["blocked"])
+        .select(
+            "doc_id",
+            jsonschema_validate(F.to_json(record), FULL_RDLS_SCHEMA).alias("v"),
+        )
+    )
+    return validated.select(
+        "doc_id",
+        F.col("v.is_valid").alias("is_valid"),
+        F.col("v.n_errors").alias("n_errors"),
+        F.col("v.error_summary").alias("error_summary"),
+    )
