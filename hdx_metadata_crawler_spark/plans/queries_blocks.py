@@ -1409,3 +1409,159 @@ def full_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.n_errors").alias("n_errors"),
         F.col("v.error_summary").alias("error_summary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline funnel (docs/STORY.md:758-768: crawled -> OSM policy
+# excluded -> candidates -> overrides -> HEVL -> integrated -> schema-valid
+# -> tier): ONE dataflow chaining the real stage implementations, with the
+# per-stage counts oracle-checked as a funnel.
+# ---------------------------------------------------------------------------
+
+from .queries_text import OVERRIDES, _full_oracle, classify_documents_full  # noqa: E402
+from .queries_integration import _BLOCK_DROP, REQUIRE_HE_FOR_VL  # noqa: E402
+from .queries_extractors import _COMPOSITE_ORACLE_BODY, _composite  # noqa: E402
+
+_POLICY_MOD_FUNNEL = 23  # P5: curated OSM policy exclusion list (doc_id % 23)
+_OVERRIDE_EXCLUDED = tuple(
+    doc_id for doc_id, decision, _comp in OVERRIDES if decision == "exclude"
+)
+
+FUNNEL_STAGES = [
+    "crawled",
+    "osm_policy_kept",
+    "classified_candidates",
+    "after_overrides",
+    "hevl_any",
+    "integrated",
+    "schema_valid",
+    "tier_high",
+]
+
+
+def _funnel_oracle() -> str:
+    flag = {c: f"(doc_id % {_FLAG_MOD[c]} = 0)" for c in COMPONENT_ORDER}
+    block = {c: f"(doc_id % 13 <> {_BLOCK_DROP[c]})" for c in COMPONENT_ORDER}
+    actual = {c: f"({flag[c]} AND {block[c]})" for c in COMPONENT_ORDER}
+    declared_any = " OR ".join(flag.values())
+    actual_any = " OR ".join(actual.values())
+
+    def vl_invalid(f):
+        return (
+            f"(({f['vulnerability']} OR {f['loss']}) "
+            f"AND NOT ({f['hazard']} OR {f['exposure']}))"
+        )
+
+    guard = "TRUE" if REQUIRE_HE_FOR_VL else "FALSE"
+    integrate_ok = (
+        f"(({declared_any}) AND NOT ({vl_invalid(flag)} AND {guard}) "
+        f"AND doc_id % 11 <> 0 AND ({actual_any}) "
+        f"AND NOT ({vl_invalid(actual)} AND {guard}))"
+    )
+    overrides = ", ".join(str(i) for i in _OVERRIDE_EXCLUDED)
+    stage_rows = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS stage_order, '{name}' AS stage, "
+        f"CAST(sum(CASE WHEN s{i + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs "
+        "FROM stages"
+        for i, name in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+    WITH classify AS ({_full_oracle()}),
+    comp AS (SELECT doc_id, tier FROM ({_COMPOSITE_ORACLE_BODY})),
+    stages AS (
+      SELECT d.doc_id,
+             TRUE AS s1,
+             (d.doc_id % {_POLICY_MOD_FUNNEL} <> 0) AS s2x,
+             c.is_candidate AS s3x,
+             (d.doc_id NOT IN ({overrides})) AS s4x,
+             ({declared_any}) AS s5x,
+             {integrate_ok} AS s6x,
+             (d.doc_id % {_FAULT_MOD} NOT IN ({_FAULT_MISSING}, {_FAULT_ENUM}))
+               AS s7x,
+             (t.tier = 'high') AS s8x
+      FROM documents d
+      JOIN classify c USING (doc_id)
+      JOIN comp t USING (doc_id)
+    ),
+    cum AS (
+      SELECT doc_id, s1,
+             s1 AND s2x AS s2,
+             s1 AND s2x AND s3x AS s3,
+             s1 AND s2x AND s3x AND s4x AS s4,
+             s1 AND s2x AND s3x AND s4x AND s5x AS s5,
+             s1 AND s2x AND s3x AND s4x AND s5x AND s6x AS s6,
+             s1 AND s2x AND s3x AND s4x AND s5x AND s6x AND s7x AS s7,
+             s1 AND s2x AND s3x AND s4x AND s5x AND s6x AND s7x AND s8x AS s8
+      FROM stages
+    ),
+    stages2 AS (SELECT * FROM cum)
+    {stage_rows.replace("FROM stages", "FROM stages2")}
+    """
+
+
+@register(
+    "pipeline_funnel",
+    _funnel_oracle(),
+    doc="End-to-end pipeline funnel (docs/STORY.md:758-768 — the "
+        "reference's headline artifact: 26,246 crawled -> 3,649 OSM "
+        "excluded -> 13,053 candidates -> 12,577 integrated -> 9,772 "
+        "schema-valid): chains the REAL stage implementations — P5 policy "
+        "anti-join, the full A2 classify cascade, NB05 exclude-overrides, "
+        "HEVL flag derivation, the NB12 integrate ladder, the full-RDLS-"
+        "schema jsonschema verdicts (actual validator output, joined on "
+        "doc_id), composite tiering — into ONE dataflow whose cumulative "
+        "per-stage counts are oracle-checked as a funnel. Plan: one "
+        "documents scan + the classify aggregations + three broadcast-"
+        "joinable verdict frames; no stage recomputes another stage's "
+        "logic.",
+)
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_integration import _inputs_frame, integrate_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    classify = classify_documents_full(spark, sf_dir).select("doc_id", "is_candidate")
+    integ = integrate_frame(_inputs_frame(d)).select(
+        "doc_id", (F.col("status") == "ok").alias("integ_ok")
+    )
+    valid = full_schema_validation(spark, sf_dir).select(
+        "doc_id", F.col("is_valid").alias("schema_ok")
+    )
+    comp = _composite(d).select("doc_id", (F.col("tier") == "high").alias("tier_high"))
+
+    wide = (
+        d.select("doc_id")
+        .join(classify, "doc_id")
+        .join(integ, "doc_id")
+        .join(valid, "doc_id", "left")
+        .join(comp, "doc_id")
+    )
+    raw = {
+        1: F.lit(True),
+        2: F.col("doc_id") % _POLICY_MOD_FUNNEL != 0,
+        3: F.col("is_candidate"),
+        4: ~F.col("doc_id").isin(*_OVERRIDE_EXCLUDED),
+        5: None,  # hevl_any — declared risk types non-empty
+        6: F.col("integ_ok"),
+        7: F.coalesce(F.col("schema_ok"), F.lit(False)),
+        8: F.col("tier_high"),
+    }
+    declared_any = None
+    for c in COMPONENT_ORDER:
+        f = F.col("doc_id") % _FLAG_MOD[c] == 0
+        declared_any = f if declared_any is None else (declared_any | f)
+    raw[5] = declared_any
+
+    cum = []
+    acc = None
+    for i in range(1, 9):
+        acc = raw[i] if acc is None else (acc & raw[i])
+        cum.append(acc.alias(f"s{i}"))
+    sums = wide.select(*cum).agg(
+        *[F.sum(F.col(f"s{i}").cast("long")).alias(f"n{i}") for i in range(1, 9)]
+    )
+    stack_expr = ", ".join(
+        f"{i + 1}, '{name}', n{i + 1}" for i, name in enumerate(FUNNEL_STAGES)
+    )
+    return sums.selectExpr(
+        f"stack(8, {stack_expr}) as (stage_order, stage, n_docs)"
+    )

@@ -203,3 +203,26 @@ def test_full_schema_validation_catches_both_fault_classes(spark):
         for r in enum
     )
     assert clean and all(r["is_valid"] for r in clean)
+
+
+def test_pipeline_funnel_monotone_and_populated(spark):
+    """The funnel is a real funnel: counts never increase stage-to-stage,
+    every stage is populated, and the big drops happen where the pipeline
+    semantics say they must (HEVL detection, integration ladder, schema
+    gate) — the shape of the reference's STORY.md funnel."""
+    from hdx_metadata_crawler_spark.plans.queries_blocks import pipeline_funnel
+
+    rows = sorted(
+        pipeline_funnel(spark, SF_SMALL).collect(),
+        key=lambda r: r["stage_order"],
+    )
+    counts = [r["n_docs"] for r in rows]
+    names = [r["stage"] for r in rows]
+    assert names[0] == "crawled" and names[-1] == "tier_high"
+    assert counts[0] == 500
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[-1] > 0
+    # the three semantic drops exist
+    assert counts[4] < counts[3]   # hevl_any < after_overrides
+    assert counts[5] < counts[4]   # integrated < hevl_any
+    assert counts[6] < counts[5]   # schema_valid < integrated
