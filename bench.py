@@ -43,7 +43,7 @@ HEADLINE = [
     "top10_orders_revenue",
     "top3_orders_per_customer",
     "events_hourly",
-    "classify_documents",
+    "classify_documents",   # plan variant (unregistered; see EXTRA_QUERIES)
     "token_counts_top20",
     "doc_quality",
     "minhash_lsh_dedup",
@@ -69,6 +69,14 @@ HEADLINE = [
     "integrate_records",
     "jsonschema_validation",
     "simhash_hamming_pairs",
+    # round 3 additions: E/V/L nested block assembly, NB06 translate, the
+    # full-RDLS-schema validator, and the end-to-end funnel.
+    "exposure_block_assembly",
+    "vulnerability_block_assembly",
+    "loss_block_assembly",
+    "translate_records",
+    "full_schema_validation",
+    "pipeline_funnel",
 ]
 
 
@@ -216,8 +224,13 @@ def main() -> int:
         return 0
 
     import __spark_entry__ as entrymod
+    from hdx_metadata_crawler_spark.plans import queries_text as _qt
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # plan variants consolidated out of the registry (round 3) but still
+    # benchmarked: both physical strategies of the A2 classify cascade
+    qs.setdefault("classify_documents", _qt.classify_documents)
+    qs.setdefault("classify_documents_fused", _qt.classify_documents_fused)
     # tolerate sf dirs whose basename is not 'sf<number>' (report sf=None
     # instead of dying after all queries already ran)
     import re as _re

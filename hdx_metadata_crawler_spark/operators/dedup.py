@@ -111,7 +111,8 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32,
+    hash_fn=None,
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, i) — computed SHUFFLE-FREE as array_min(transform(...))
@@ -127,6 +128,12 @@ def minhash_signatures(
     (measured 15x slower) — Spark does not common-subexpression-eliminate
     across higher-order lambda arguments.
     """
+    if hash_fn is None:
+        # seeded xxhash64 (production default); pass a (shingle, seed) ->
+        # Column fn such as md5_seeded_hash60 for the oracle-portable form
+        def hash_fn(s, i):
+            return F.xxhash64(s, F.lit(i))
+
     base = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     )
@@ -135,7 +142,7 @@ def minhash_signatures(
         # sniffs the arity, and a two-arg lambda is given (element, index),
         # which would silently shadow the seed.  Closure capture of i is
         # safe: transform() invokes the lambda eagerly at plan build time.
-        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, F.lit(i))))
+        return F.array_min(F.transform("_sh", lambda s: hash_fn(s, i)))
 
     return base.select(
         "_id",
@@ -143,9 +150,14 @@ def minhash_signatures(
     )
 
 
+def md5_seeded_hash60(s: Column, i: int) -> Column:
+    """Seeded portable variant of md5_hash60 (seed folded into the input)."""
+    return md5_hash60(F.concat(F.lit(f"{i}|"), s))
+
+
 def minhash_lsh_candidates(
     sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
-    num_hashes: int | None = None,
+    num_hashes: int | None = None, bucket_hash_fn=None,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature; docs sharing any band
     bucket are candidate pairs.  Shuffle key = (band, band_hash) — constant
@@ -164,13 +176,15 @@ def minhash_lsh_candidates(
         f"bands({bands}) x rows_per_band({rows_per_band}) exceeds the "
         f"signature length ({num_hashes})"
     )
+    if bucket_hash_fn is None:
+        bucket_hash_fn = F.xxhash64
     banded = sig.select(
         "_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    bucket_hash_fn(
                         F.concat_ws(
                             ",",
                             *[
@@ -222,9 +236,25 @@ def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash from the first 15 hex chars of
+    md5 — JVM-side (md5 + conv are builtins) and PORTABLE: DuckDB computes
+    the identical value via ``('0x' || substr(md5(x),1,15))::BIGINT``, which
+    makes md5-keyed sketches fully oracle-checkable.  xxhash64 stays the
+    production default (one hash pass vs md5's four rounds); the sketch
+    algebra is hash-agnostic, so correctness transfers."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_fn=None
+) -> DataFrame:
     """64-bit SimHash per doc: for each bit position, sum ±1 over token
     hashes; bit = 1 iff the sum is positive.
+
+    ``hash_fn`` (Column -> Column) defaults to xxhash64; pass ``md5_hash60``
+    for the oracle-checkable variant (top 4 bits then always 0 — the bit
+    algebra is unchanged).
 
     SHUFFLE-FREE form: the token-hash array is materialized once (projection
     barrier — Spark does not CSE across higher-order lambdas, see
@@ -235,10 +265,12 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     like transform, aggregate sniffs lambda arity, so loop variables are
     bound via the enclosing function, not default args.
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     base = df.select(
         F.col(id_col).alias("_id"),
         F.transform(
-            F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
+            F.array_distinct(tokenize(F.col(text_col))), lambda t: hash_fn(t)
         ).alias("_th"),
     )
 
@@ -268,6 +300,7 @@ def simhash_hamming_pairs(
     id_col: str,
     text_col: str,
     max_distance: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_distance, WITHOUT
     all-pairs: pigeonhole chunk bucketing.
@@ -287,7 +320,7 @@ def simhash_hamming_pairs(
     width = 64 // n_chunks
     mask = (1 << width) - 1
 
-    fp = simhash64(df, id_col, text_col)
+    fp = simhash64(df, id_col, text_col, hash_fn=hash_fn)
     chunks = fp.select(
         "_id",
         "simhash",

@@ -133,32 +133,64 @@ def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CANON_CTE = """
+    canon AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2
+                  THEN 'https://hdx.humdata.org/dataset/' || doc_id || '?format=json&page=1'
+                  ELSE 'https://' || lower(source) || '.example.org/docs/' || doc_id || '?a=1&b=2'
+             END AS canon_url,
+             CASE WHEN doc_id % 5 < 2 THEN 'hdx.humdata.org'
+                  ELSE lower(source) || '.example.org' END AS host
+      FROM documents
+    )
+"""
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
 @register(
     "host_partition_stats",
-    None,  # xxhash64 partition assignment — Spark-specific, rows-only check
-    doc="Frontier partition-balance diagnostics: docs per pmod(xxhash64, 32) "
+    f"""
+    WITH {_CANON_CTE},
+    keyed AS (
+      SELECT host,
+             {_H60.format(x='host')} % 32 AS p_host,
+             {_H60.format(x=f"host || '|' || CAST({_H60.format(x='canon_url')} % 8 AS VARCHAR)")} % 32
+               AS p_salted
+      FROM canon
+    )
+    SELECT 'host_only' AS keying, p_host AS partition_id,
+           count(*) AS n_urls
+    FROM keyed GROUP BY p_host
+    UNION ALL
+    SELECT 'host_salted' AS keying, p_salted AS partition_id,
+           count(*) AS n_urls
+    FROM keyed GROUP BY p_salted
+    """,
+    doc="Frontier partition-balance diagnostics: docs per hash-mod-32 "
         "partition under BOTH keys — host-only (the skewed control: the hot "
-        "host lands in one partition) and host+salt (the engine's fetch "
+        "host lands in ONE partition) and host+salt (the engine's fetch "
         "key) — so the skew the salting breaks is visible in one output "
-        "(north rule skew handling). Asserted quantitatively in "
-        "tests/test_crawl_engine.py.",
+        "(north rule skew handling). Keyed on the portable md5-derived "
+        "60-bit hash so DuckDB recomputes every partition assignment "
+        "(round-2 no_oracle row converted; the production fetch repartition "
+        "keeps xxhash64 — the balance property is hash-agnostic, asserted "
+        "quantitatively in tests/test_crawl_engine.py).",
 )
 def host_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_hash60
+
     canon = canonicalize_urls(spark, sf_dir).select("doc_id", "canon_url", "host")
+    salt = F.pmod(md5_hash60(F.col("canon_url")), F.lit(8))
+    salted_key = F.concat(F.col("host"), F.lit("|"), salt.cast("string"))
     unsalted = (
-        canon.withColumn("partition_id", F.pmod(F.xxhash64("host"), F.lit(32)))
+        canon.withColumn("partition_id", F.pmod(md5_hash60(F.col("host")), F.lit(32)))
         .groupBy("partition_id")
         .agg(F.count("*").alias("n_urls"))
         .withColumn("keying", F.lit("host_only"))
     )
     salted = (
-        canon.withColumn(
-            "partition_id",
-            F.pmod(
-                F.xxhash64(F.col("host"), F.pmod(F.xxhash64("canon_url"), F.lit(8))),
-                F.lit(32),
-            ),
-        )
+        canon.withColumn("partition_id", F.pmod(md5_hash60(salted_key), F.lit(32)))
         .groupBy("partition_id")
         .agg(F.count("*").alias("n_urls"))
         .withColumn("keying", F.lit("host_salted"))
