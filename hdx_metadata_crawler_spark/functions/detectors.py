@@ -1,0 +1,68 @@
+"""Real-codelist hazard-type and exposure-category detectors.
+
+First-match-wins keyword banks over the FULL RDLS v0.3 codelists (11 hazard
+types, 7 exposure categories) — the engine analogue of the reference's
+hazard/exposure detection keyword tables (``09…ipynb`` hazard patterns,
+``10…ipynb`` category patterns).  Pattern ORDER is part of the contract:
+specific families come before general ones (coastal_flood and tsunami
+before flood; convective_storm's tornado/hail before strong_wind's generic
+wind), mirroring the reference's first-match short-circuit
+(``09…ipynb`` ``_match_patterns``).
+
+Verified by the reference's own mechanism: curated golden-sample suites at
+the reference's breadth (~55 hazard samples across all 11 types, ~31
+exposure samples across all 7 categories) with MATCH/MISS/EDGE verdicts and
+per-category match-rate gates — tests/test_golden_samples.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (hazard_type, case-insensitive pattern) — first match wins, top to bottom.
+HAZARD_DETECT_PATTERNS: list[tuple[str, str]] = [
+    ("coastal_flood", r"(?i)\b(coastal\s+flood\w*|storm\s+surge|sea[-\s]level\s+rise)\b"),
+    ("tsunami", r"(?i)\btsunami\w*\b"),
+    # volcanic before flood: 'lahar inundation' must resolve volcanic, not
+    # trip flood's generic 'inundation' (caught by golden sample vo-3)
+    ("volcanic", r"(?i)\b(volcan\w*|eruption\w*|ash\s*fall\w*|lahar\w*|pyroclastic\w*|lava)\b"),
+    ("flood", r"(?i)\b(flood\w*|inundation|riverine|fluvial|pluvial)\b"),
+    ("earthquake", r"(?i)\b(earthquake\w*|seismic\w*|ground\s+motion|liquefaction|epicent\w+)\b"),
+    ("drought", r"(?i)\b(drought\w*|rainfall\s+deficit|water\s+scarcity)\b"),
+    ("extreme_temperature", r"(?i)\b(heat\s*wave\w*|cold\s*wave\w*|extreme\s+(heat|cold|temperature)\w*)\b"),
+    ("wildfire", r"(?i)\b(wild\s*fire\w*|bush\s*fire\w*|forest\s+fire\w*|burned?\s+area)\b"),
+    ("convective_storm", r"(?i)\b(tornado\w*|hail\s*(storm)?\w*|convective\s+storm\w*|derecho\w*)\b"),
+    ("strong_wind", r"(?i)\b(cyclone\w*|hurricane\w*|typhoon\w*|strong\s+wind\w*|wind\s+speed|gale\w*)\b"),
+    ("landslide", r"(?i)\b(landslide\w*|mud\s*slide\w*|debris\s+flow\w*|rock\s*fall\w*|avalanche\w*)\b"),
+]
+
+# (exposure_category, pattern) — first match wins.
+EXPOSURE_DETECT_PATTERNS: list[tuple[str, str]] = [
+    ("buildings", r"(?i)\b(building\w*|housing\s+(stock|units?)|dwelling\w*|footprint\w*)\b"),
+    ("infrastructure", r"(?i)\b(infrastructure|roads?\s+network\w*|bridge\w*|power\s+grid\w*|pipeline\w*|railway\w*|hospitals?|airports?)\b"),
+    ("population", r"(?i)\b(population\w*|census\w*|demograph\w*|inhabitant\w*|household\s+survey\w*)\b"),
+    ("agriculture", r"(?i)\b(crop\w*|agricultur\w*|livestock|farm\w*|irrigat\w*|harvest\w*)\b"),
+    ("natural_environment", r"(?i)\b(forest\s+cover|wetland\w*|ecosystem\w*|mangrove\w*|protected\s+area\w*|biodiversity)\b"),
+    ("economic_indicator", r"(?i)\b(gdp|gross\s+domestic|economic\s+(output|activity|indicator)\w*|income\s+level\w*)\b"),
+    ("development_index", r"(?i)\b(human\s+development\s+index|hdi\b|poverty\s+(index|rate)|deprivation\s+index|vulnerability\s+index)\w*"),
+]
+
+
+def _first_match(col: Column, bank: list[tuple[str, str]]) -> Column:
+    chain = None
+    for label, pat in bank:
+        b = (col.rlike(pat), F.lit(label))
+        chain = F.when(*b) if chain is None else chain.when(*b)
+    return chain
+
+
+def detect_hazard_type(text: Column) -> Column:
+    """First matching hazard type from the 11-type codelist bank (null when
+    none fire)."""
+    return _first_match(text, HAZARD_DETECT_PATTERNS)
+
+
+def detect_exposure_category(text: Column) -> Column:
+    """First matching exposure category from the 7-category bank."""
+    return _first_match(text, EXPOSURE_DETECT_PATTERNS)
