@@ -77,7 +77,6 @@ _CUR_BY_MOD7 = {0: "USD", 1: "EUR", 2: "JPY", 3: "INR"}
 
 _NO_METRICS_MOD, _NO_METRICS_REM = 13, 5  # "extractor found no metrics" docs
 
-_SYNTH_CATEGORIES = [c for c, _ in TIER_CATEGORIES]
 
 
 def _doc_str() -> Column:
@@ -450,42 +449,63 @@ def _first_cat_sql() -> str:
     )
 
 
-def _vuln_entry_struct(ftype: str, idx: Column) -> Column:
-    """One validated function entry (nullable fields omitted by to_json);
-    the caller gates on detection + the P1+P2 skip."""
-    doc = _doc_str()
+def _vuln_shared_cols() -> dict[str, Column]:
+    """The validation-cascade columns every function type shares — projected
+    ONCE (a select barrier) so the four entry structs reference named
+    columns instead of re-deriving the whole cascade 4x (Catalyst does not
+    CSE across sibling struct fields; the duplicated tree quadrupled plan
+    compile time, measured ~30s -> ~8s at 500 rows)."""
     did = F.col("doc_id")
-    approach = _validated(
-        _pick(_APPROACH_RAW, did % 3),
-        ("analytical", "empirical", "hybrid", "judgement"), "empirical",
-    )
-    relationship = _validated(
-        _pick(_RELATIONSHIP_RAW, (did / 2).cast("long") % 3),
-        ("math_parametric", "math_bespoke", "discrete"), "discrete",
-    )
-    analysis = _validated(
-        _pick(_ANALYSIS_RAW, (did / 3).cast("long") % 3),
-        ("probabilistic", "deterministic", "empirical"), "empirical",
-    )
-    impact_type0 = _validated(
-        _pick(_IMPACT_TYPE_RAW, did % 3), _IMPACT_TYPES, "direct"
-    )
-    modelling = _validated(
-        _pick(_MODELLING_RAW, (did / 2).cast("long") % 3),
-        ("inferred", "observed", "simulated"), "observed",
-    )
     hazard = F.when(
         _pick(_HAZARD_RAW, did % 3).isin(*HAZARD_TYPES), _pick(_HAZARD_RAW, did % 3)
     )
-    intensity = F.when(did % 2 == 0, "wd:m").otherwise(
-        F.when(hazard == "flood", DEFAULT_INTENSITY_BY_HAZARD["flood"]).otherwise(
-            DEFAULT_INTENSITY_BY_HAZARD["earthquake"]
-        )
-    )
-    category = _first_cat_col()
+    return {
+        "_v_approach": _validated(
+            _pick(_APPROACH_RAW, did % 3),
+            ("analytical", "empirical", "hybrid", "judgement"), "empirical",
+        ),
+        "_v_relationship": _validated(
+            _pick(_RELATIONSHIP_RAW, (did / 2).cast("long") % 3),
+            ("math_parametric", "math_bespoke", "discrete"), "discrete",
+        ),
+        "_v_analysis": _validated(
+            _pick(_ANALYSIS_RAW, (did / 3).cast("long") % 3),
+            ("probabilistic", "deterministic", "empirical"), "empirical",
+        ),
+        "_v_itype0": _validated(
+            _pick(_IMPACT_TYPE_RAW, did % 3), _IMPACT_TYPES, "direct"
+        ),
+        "_v_modelling": _validated(
+            _pick(_MODELLING_RAW, (did / 2).cast("long") % 3),
+            ("inferred", "observed", "simulated"), "observed",
+        ),
+        "_v_hazard": hazard,
+        "_v_intensity": F.when(did % 2 == 0, "wd:m").otherwise(
+            F.when(hazard == "flood", DEFAULT_INTENSITY_BY_HAZARD["flood"])
+            .otherwise(DEFAULT_INTENSITY_BY_HAZARD["earthquake"])
+        ),
+        "_v_category": _first_cat_col(),
+        "_v_metric_raw": _pick(_METRIC_RAW, (did / 5).cast("long") % 3),
+    }
+
+
+def _vuln_entry_struct(ftype: str, idx: Column) -> Column:
+    """One validated function entry (nullable fields omitted by to_json);
+    reads the shared cascade columns of _vuln_shared_cols; the caller gates
+    on detection + the P1+P2 skip."""
+    doc = _doc_str()
+    did = F.col("doc_id")
+    approach = F.col("_v_approach")
+    relationship = F.col("_v_relationship")
+    analysis = F.col("_v_analysis")
+    impact_type0 = F.col("_v_itype0")
+    modelling = F.col("_v_modelling")
+    hazard = F.col("_v_hazard")
+    intensity = F.col("_v_intensity")
+    category = F.col("_v_category")
 
     allowed, (dmet, dqty) = FUNCTION_TYPE_CONSTRAINTS[ftype]
-    metric_raw = _pick(_METRIC_RAW, (did / 5).cast("long") % 3)
+    metric_raw = F.col("_v_metric_raw")
     metric0 = F.when(metric_raw.isin(*IMPACT_METRICS), metric_raw).otherwise(dmet)
     metric = F.when(metric0.isin(*allowed), metric0).otherwise(F.lit(dmet))
     # Group 3: quantity forced by metric; impact_type coerced into the
@@ -694,7 +714,11 @@ def _vuln_oracle() -> str:
 )
 def vulnerability_block_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    skip = (F.col("doc_id") % 3 == 2) | _first_cat_col().isNull()
+    shared = _vuln_shared_cols()
+    d = d.select(
+        "doc_id", "text", *[c.alias(n) for n, c in shared.items()]
+    )
+    skip = (F.col("doc_id") % 3 == 2) | F.col("_v_category").isNull()
 
     idx_cols: dict[str, Column] = {}
     running = F.lit(0)
@@ -1564,4 +1588,150 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.selectExpr(
         f"stack(8, {stack_expr}) as (stage_order, stage, n_docs)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-codelist hazard/exposure detection as an oracle query: the same
+# pattern banks run under Java regex (Spark rlike) and RE2 (DuckDB
+# regexp_matches) over the same text — a tri-dialect parity check in the
+# style of the signal bank (SURVEY §7.4 risk 3), driver-visible.
+# ---------------------------------------------------------------------------
+
+from ..functions.detectors import (  # noqa: E402
+    EXPOSURE_DETECT_PATTERNS,
+    HAZARD_DETECT_PATTERNS,
+    detect_exposure_category,
+    detect_hazard_type,
+)
+
+# deterministic suffix phrases: one per hazard type (bank coverage) + none
+_HZ_PHRASES = [
+    "flood extent mapping", "storm surge model", "seismic shaking intensity",
+    "drought monitor bulletin", "heat wave alert days", "wildfire perimeters",
+    "hurricane wind swaths", "tornado damage reports", "landslide inventory",
+    "tsunami runup survey", "lahar deposit zones", "",
+]
+_EXP_PHRASES = [
+    "building footprints", "roads network assets", "population census table",
+    "crop yield forecast", "wetland extent layers", "gdp nowcast series",
+    "poverty rate estimates", "",
+]
+
+
+def _suffix_case_sql(phrases: list[str], mod: int) -> str:
+    branches = " ".join(
+        f"WHEN doc_id % {mod} = {i} THEN ' {p}'" for i, p in enumerate(phrases) if p
+    )
+    return f"(CASE {branches} ELSE '' END)"
+
+
+def _first_match_sql(expr: str, bank: list[tuple[str, str]]) -> str:
+    return (
+        "(CASE "
+        + " ".join(
+            f"WHEN regexp_matches({expr}, '{pat}') THEN '{label}'"
+            for label, pat in bank
+        )
+        + " END)"
+    )
+
+
+@register(
+    "hazard_exposure_detection",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || {_suffix_case_sql(_HZ_PHRASES, len(_HZ_PHRASES))} AS txt_h,
+             text || {_suffix_case_sql(_EXP_PHRASES, len(_EXP_PHRASES))} AS txt_e
+      FROM documents
+    )
+    SELECT doc_id,
+           {_first_match_sql('txt_h', HAZARD_DETECT_PATTERNS)} AS hazard_type,
+           {_first_match_sql('txt_e', EXPOSURE_DETECT_PATTERNS)} AS exposure_category
+    FROM t
+    """,
+    doc="Full-codelist hazard-type (11) + exposure-category (7) detection "
+        "(functions/detectors.py first-match banks; reference keyword "
+        "tables 09…ipynb/10…ipynb) over deterministically-suffixed text — "
+        "the SAME patterns evaluated by Java regex in Spark and RE2 in "
+        "DuckDB, so the value hash pins cross-dialect regex parity (the "
+        "signal-bank methodology, SURVEY §7.4 risk 3). Breadth-verified by "
+        "the reference-scale golden suites in tests/test_golden_samples.py.",
+)
+def hazard_exposure_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def suffix(phrases: list[str]) -> Column:
+        chain = None
+        for i, p in enumerate(phrases):
+            if not p:
+                continue
+            b = (did % len(phrases) == i, F.lit(" " + p))
+            chain = F.when(*b) if chain is None else chain.when(*b)
+        return chain.otherwise("")
+
+    txt_h = F.concat(F.col("text"), suffix(_HZ_PHRASES))
+    txt_e = F.concat(F.col("text"), suffix(_EXP_PHRASES))
+    return d.select(
+        "doc_id",
+        detect_hazard_type(txt_h).alias("hazard_type"),
+        detect_exposure_category(txt_e).alias("exposure_category"),
+    )
+
+
+@register(
+    "translate_blocked",
+    f"""
+    WITH flags AS (
+      SELECT doc_id,
+             {', '.join(f"(doc_id % {_FLAG_MOD[c]} = 0) AS f_{c}" for c in COMPONENT_ORDER)}
+      FROM documents
+    )
+    SELECT doc_id,
+           concat_ws(';',
+             CASE WHEN NOT (f_hazard OR f_exposure OR f_vulnerability OR f_loss)
+                  THEN 'no_rdls_components' END,
+             CASE WHEN (f_vulnerability OR f_loss)
+                       AND NOT (f_hazard OR f_exposure)
+                  THEN 'standalone_vl_requires_hazard_or_exposure' END)
+             AS blocked_reasons,
+           coalesce(concat_ws(';',
+             {', '.join(f"CASE WHEN f_{c} THEN '{c}' END" for c in COMPONENT_ORDER)}),
+             '') AS risk_data_type
+    FROM flags
+    WHERE NOT (f_hazard OR f_exposure OR f_vulnerability OR f_loss)
+       OR ((f_vulnerability OR f_loss) AND NOT (f_hazard OR f_exposure))
+    """,
+    doc="The blocked-side info rows of the NB06 translate gate "
+        "(06…ipynb:1367 — build_rdls_record returns (None, info) with "
+        "blocked=True, semicolon-joined gate reasons and declared risk "
+        "types when the component gate fails): the complement of "
+        "translate_records, so the two registered surfaces partition the "
+        "corpus exactly like the reference's records + skipped outputs.",
+)
+def translate_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    flags = _risk_flags()
+    risk_arr = F.filter(
+        F.array(*[F.when(flags[c], F.lit(c)) for c in COMPONENT_ORDER]),
+        lambda x: x.isNotNull(),
+    )
+    empty = F.size(risk_arr) == 0
+    vl_standalone = (flags["vulnerability"] | flags["loss"]) & ~(
+        flags["hazard"] | flags["exposure"]
+    )
+    reasons = F.concat_ws(
+        ";",
+        F.when(empty, "no_rdls_components"),
+        F.when(vl_standalone, "standalone_vl_requires_hazard_or_exposure"),
+    )
+    return (
+        d.filter(empty | vl_standalone)
+        .select(
+            "doc_id",
+            reasons.alias("blocked_reasons"),
+            F.array_join(risk_arr, ";").alias("risk_data_type"),
+        )
     )
