@@ -81,13 +81,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                t -> t <> '') AS toks
             FROM documents)
     ),
+    bases AS (
+      SELECT doc_id,
+             list_transform(shingles,
+                            s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS bh
+      FROM sh
+    ),
     sigs AS (
       SELECT doc_id,
              [{', '.join(
-                 "list_min(list_transform(shingles, "
-                 f"s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT))"
+                 "list_min(list_transform(bh, "
+                 f"h -> (h * {dedup.affine_consts(i)[0]} + {dedup.affine_consts(i)[1]}) % {dedup.MINHASH_PRIME}))"
                  for i in range(32))}] AS sig
-      FROM sh
+      FROM bases
     ),
     banded AS (
       SELECT doc_id, b,
@@ -112,17 +118,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="MinHash(32) + banded LSH(8×4) near-dup candidates with estimated "
         "Jaccard — the 100 TB-scale dedup path (bucket-join, never "
-        "all-pairs). Keyed on the portable seeded md5 60-bit hash so DuckDB "
+        "all-pairs). Portable-hash form: ONE md5 base digest per shingle + "
+        "32 affine universal-hash mins (no per-seed digests), so DuckDB "
         "recomputes the signatures, band buckets, candidate set AND "
         "estimates independently (round-2 no_oracle row converted; "
-        "production keeps seeded xxhash64 — operators/dedup.py hash_fn "
+        "production keeps seeded xxhash64 — operators/dedup.py hash "
         "params). Recall vs the exact n-gram Jaccard join remains asserted "
         "in tests/test_dedup.py.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(
-        d, "doc_id", "text", n=3, num_hashes=32, hash_fn=dedup.md5_seeded_hash60
+        d, "doc_id", "text", n=3, num_hashes=32, base_hash_fn=dedup.md5_base28
     )
     sig = sig.cache()
     pairs = dedup.minhash_lsh_candidates(
