@@ -257,6 +257,7 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_hash_fn=None,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means over the corpus — the IVF coarse
     quantizer.  Init = the k vectors with the smallest xxhash64(id) (a
@@ -264,10 +265,17 @@ def kmeans_centroids(
     hashing reproduces on every run).  Each iteration is ONE distributed
     pass: an Arrow-batched argmin against the broadcast (k x dim) centroid
     matrix, then a per-cluster sum/count aggregate; only the k x dim
-    centroid block (k small) ever reaches the driver."""
+    centroid block (k small) ever reaches the driver.
+
+    ``init_hash_fn`` (Column -> Column) overrides the init-sample hash —
+    pass the portable md5-derived hash (operators/dedup.md5_hash60 over the
+    stringified id) to make the whole quantizer DuckDB-reproducible; the
+    production default stays xxhash64 (one hash pass)."""
+    if init_hash_fn is None:
+        init_hash_fn = F.xxhash64
     init_rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(init_hash_fn(F.col(id_col)), F.col(id_col))
         .limit(k)
         .collect()
     )
@@ -357,6 +365,7 @@ def knn_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     iters: int = 4,
+    init_hash_fn=None,
 ) -> DataFrame:
     """IVF ANN top-k: k-means coarse quantizer -> corpus partitioned into
     cells -> each query probes its n_probe nearest cells -> exact cosine
@@ -368,7 +377,8 @@ def knn_ivf(
     all-pairs.  Recall rises with n_probe at linear cost — the standard IVF
     trade."""
     centroids = kmeans_centroids(
-        corpus, dim, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        corpus, dim, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        init_hash_fn=init_hash_fn,
     )
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -48,13 +48,78 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(e, q, k=3)
 
 
+def _plane_literal(p: int, dim: int) -> str:
+    """Plane p as a DuckDB DOUBLE[] literal — the SAME `_plane_component`
+    LCG constants the Spark Arrow UDF bakes into its matmul matrix.  Values
+    are 3-decimal rationals; both engines parse the decimal literal to the
+    nearest double, so the literals are bit-identical to the numpy planes."""
+    vals = ", ".join(
+        repr(similarity._plane_component(p, j)) for j in range(dim)
+    )
+    return f"[{vals}]"
+
+
+def _lsh_oracle(dim: int = 64, n_tables: int = 12, r: int = 3, k: int = 3) -> str:
+    """Full SQL re-computation of knn_lsh: the hyperplanes are INPUT
+    constants (seed-derived, data-independent), so inlining them as literals
+    is legitimate — the oracle then independently recomputes the
+    data-dependent parts: sign-bit AND-buckets per table, OR-of-tables
+    candidate pairs, exact cosine, top-k.  Sign bits use strict `> 0` like
+    the Arrow matmul; float64 on both sides (sum-order divergence can flip a
+    sign only when |dot| is within ~1e-13 of 0 — never observed on the
+    deterministic corpus, and the driver's 4-decimal float normalization
+    absorbs the cosine side)."""
+    bucket_cols = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"{1 << b} * CAST(list_dot_product(ve, {_plane_literal(t * r + b, dim)}) > 0 AS BIGINT)"
+            for b in range(r)
+        )
+        bucket_cols.append(f"({bits}) AS b{t}")
+    bucket_case = " ".join(f"WHEN {t} THEN b{t}" for t in range(n_tables))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    sk AS (SELECT vec_id, ve, {", ".join(bucket_cols)} FROM e),
+    bt AS (
+      SELECT vec_id, ve, t, CASE t {bucket_case} END AS bucket
+      FROM sk CROSS JOIN (SELECT unnest(range(0, {n_tables})) AS t)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, q.ve AS qv,
+                      c.vec_id AS neighbor_id, c.ve AS cv
+      FROM bt q JOIN bt c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(coalesce(
+               list_dot_product(qv, cv)
+               / nullif(sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv)), 0), 0), 4) AS cos_sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 @register(
     "knn_lsh",
-    None,  # approximate — recall vs knn_bruteforce asserted in tests/
+    _lsh_oracle(),
     doc="ANN top-3 via multi-table random-hyperplane LSH (12 tables × 3 "
         "planes, OR-of-ANDs): exact cosine only within colliding buckets — "
-        "the shuffle-on-(table,bucket) scale path. Rows-only driver check; "
-        "recall floor vs brute force asserted in tests/test_similarity.py.",
+        "the shuffle-on-(table,bucket) scale path. Oracle-checked (round "
+        "3): the seed-derived hyperplanes are inlined as SQL literals and "
+        "DuckDB independently recomputes buckets, candidate pairs, cosine "
+        "and top-k; recall floor vs brute force additionally asserted in "
+        "tests/test_similarity.py.",
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -62,22 +127,148 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh(e, q, dim=64, k=3)
 
 
+_NORM_CASE = (
+    "CASE WHEN sqrt(list_dot_product({v}, {v})) = 0 THEN {v} "
+    "ELSE list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v}))) END"
+)
+
+
+def _ivf_oracle(
+    dim: int = 64, n_cells: int = 16, n_probe: int = 4, iters: int = 4,
+    k: int = 3,
+) -> str:
+    """Full SQL re-computation of knn_ivf — Lloyd's k-means IS expressible
+    as chained CTEs because every step is deterministic: portable md5 init
+    sample, then per iteration (normalize centroids → cosine argmax
+    assignment with first-max tie-break → per-cell raw-vector mean with
+    empty cells carrying the previous centroid), then cell-partitioned
+    probe and exact cosine.  Float64 on both sides; numpy-vs-SQL summation
+    order can flip an argmax only for a vector within ~1e-13 of a cell
+    boundary (never observed on the deterministic corpus)."""
+    parts = [
+        f"idx AS (SELECT unnest(range(1, {dim + 1})) AS i)",
+        "vecs AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)",
+        "nvecs AS (SELECT vec_id, ve, "
+        + _NORM_CASE.format(v="ve")
+        + " AS nve FROM vecs)",
+        # init: the n_cells rows with the smallest portable 60-bit hash
+        f"""cent0 AS (
+      SELECT cell, cv FROM (
+        SELECT row_number() OVER (
+                 ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                          vec_id) - 1 AS cell,
+               ve AS cv
+        FROM vecs
+      ) WHERE cell < {n_cells}
+    )""",
+    ]
+    for t in range(iters):
+        parts += [
+            f"ncent{t} AS (SELECT cell, "
+            + _NORM_CASE.format(v="cv")
+            + f" AS ncv FROM cent{t})",
+            f"""asg{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.nve, c.ncv) DESC, c.cell) AS rn
+        FROM nvecs v CROSS JOIN ncent{t} c
+      ) WHERE rn = 1
+    )""",
+            f"""cm{t} AS (
+      SELECT a.cell, x.i, sum(v.ve[x.i]) / count(*) AS comp
+      FROM asg{t} a JOIN vecs v USING (vec_id) CROSS JOIN idx x
+      GROUP BY a.cell, x.i
+    )""",
+            f"""cent{t + 1} AS (
+      SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+      FROM cent{t} p LEFT JOIN (
+        SELECT cell, list(comp ORDER BY i) AS cv FROM cm{t} GROUP BY cell
+      ) n USING (cell)
+    )""",
+        ]
+    fin = iters
+    parts += [
+        f"ncent_fin AS (SELECT cell, "
+        + _NORM_CASE.format(v="cv")
+        + f" AS ncv FROM cent{fin})",
+        """casg AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.nve, c.ncv) DESC, c.cell) AS rn
+        FROM nvecs v CROSS JOIN ncent_fin c
+      ) WHERE rn = 1
+    )""",
+        f"""qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.nve, c.ncv) DESC, c.cell) AS rn
+        FROM nvecs v CROSS JOIN ncent_fin c
+        WHERE v.vec_id < 10
+      ) WHERE rn <= {n_probe}
+    )""",
+        """cand AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id
+      FROM qprobe q JOIN casg c USING (cell)
+      WHERE q.query_id <> c.vec_id
+    )""",
+        """scored AS (
+      SELECT query_id, neighbor_id,
+             round(coalesce(
+               list_dot_product(qv.ve, cv.ve)
+               / nullif(sqrt(list_dot_product(qv.ve, qv.ve))
+                        * sqrt(list_dot_product(cv.ve, cv.ve)), 0), 0), 4)
+               AS cos_sim
+      FROM cand
+      JOIN vecs qv ON cand.query_id = qv.vec_id
+      JOIN vecs cv ON cand.neighbor_id = cv.vec_id
+    )""",
+    ]
+    cte = ",\n    ".join(parts)
+    return f"""
+    WITH {cte}
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def _portable_id_hash(c):
+    from ..operators.dedup import md5_hash60
+
+    return md5_hash60(c.cast("string"))
+
+
 @register(
     "knn_ivf",
-    None,  # approximate + iterative (k-means) — recall asserted in tests/
+    _ivf_oracle(),
     doc="ANN top-3 via IVF: deterministic Lloyd k-means coarse quantizer "
         "(16 cells, 4 distributed passes — per-pass Arrow argmin vs the "
         "broadcast centroid block + one per-cell aggregate), corpus "
         "partitioned by cell, queries probe their 4 nearest cells, exact "
         "cosine only within probed cells. The second scale path beside "
         "knn_lsh: candidates ~ n_probe/n_cells of the corpus per query. "
-        "Rows-only driver check; recall floor vs brute force asserted in "
+        "Oracle-checked (round 3): with the portable md5 init sample, the "
+        "WHOLE quantizer is re-run by DuckDB as chained CTE iterations "
+        "(normalize → argmax assign → per-cell mean with empty-cell "
+        "carry-over), then probe/cosine/top-k — every iterative step "
+        "value-verified. Production init stays xxhash64 (init_hash_fn "
+        "parameter); recall floor vs brute force asserted in "
         "tests/test_similarity.py.",
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return similarity.knn_ivf(e, q, dim=64, k=3, n_cells=16, n_probe=4)
+    return similarity.knn_ivf(
+        e, q, dim=64, k=3, n_cells=16, n_probe=4,
+        init_hash_fn=_portable_id_hash,
+    )
 
 
 @register(
