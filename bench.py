@@ -60,6 +60,7 @@ HEADLINE = [
     "session_windows",
     "media_features",
     "cosine_neardup_exact",
+    "cosine_neardup_lsh",
     # round 2 additions: full scoring cascade, signal-dictionary-scale regex
     # bank, tier merge, integration ladder, jsonschema UDF, simhash pairs.
     "classify_documents_full",

@@ -250,6 +250,60 @@ def cosine_pairs_block(
     return replicated.groupBy("gi", "gj").applyInPandas(pairs_one, out_schema)
 
 
+def cosine_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 12,
+    planes_per_table: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold) restricted to LSH
+    candidates — the 100 TB prefilter path that ``cosine_pairs_block``'s
+    docstring promises: bucket-join candidate generation (shuffle key
+    (table, bucket), constant fan-out n_tables per vector, never all-pairs),
+    exact cosine only within colliding buckets.
+
+    Output is a strict subset of the exact all-pairs result; candidate
+    recall at threshold t follows the OR-of-ANDs curve 1-(1-(1-θ/π)^r)^T
+    (θ = acos(t)) — ~0.97 for t=0.40 at the 12×3 default, rising with
+    n_tables at linear cost.  Subset + recall-floor asserted in
+    tests/test_similarity.py."""
+    b = corpus.select(
+        F.col(id_col).alias("_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        F.posexplode(
+            lsh_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
+        ).alias("table", "bucket"),
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._v").alias("va"),
+            F.col("y._v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     dim: int,

@@ -174,6 +174,48 @@ def cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_block(e, threshold=0.40)
 
 
+def _neardup_lsh_oracle(threshold: float = 0.40) -> str:
+    from .queries_similarity import _lsh_sketch_ctes
+
+    cos = (
+        "round(coalesce(list_dot_product(va, vb) "
+        "/ nullif(sqrt(list_dot_product(va, va)) "
+        "* sqrt(list_dot_product(vb, vb)), 0), 0), 4)"
+    )
+    return f"""
+    WITH {_lsh_sketch_ctes()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, a.ve AS va,
+                      b.vec_id AS id_b, b.ve AS vb
+      FROM bt a JOIN bt b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {cos} AS cos_sim
+    FROM cand
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "cosine_neardup_lsh",
+    _neardup_lsh_oracle(),
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.40) via the "
+        "LSH prefilter — the 100 TB path cosine_neardup_exact's docstring "
+        "promises: (table, bucket) bucket-join candidate generation "
+        "(constant fan-out per vector, never all-pairs), exact cosine only "
+        "within colliding buckets. Output is a strict subset of the exact "
+        "all-pairs result (~0.97 candidate recall at 12×3; subset + recall "
+        "floor asserted in tests/test_similarity.py). Oracle-checked: the "
+        "seed-derived hyperplanes are inlined as SQL literals and DuckDB "
+        "independently recomputes buckets, candidates and cosines.",
+)
+def cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_neardup_lsh as _op
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op(e, threshold=0.40, dim=64)
+
+
 def _simhash_oracle_cte() -> str:
     """Fingerprint CTE over the portable md5-derived 60-bit token hash —
     DuckDB's hex cast equals Spark's conv(substring(md5,1,15),16,10)."""

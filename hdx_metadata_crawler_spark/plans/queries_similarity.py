@@ -59,6 +59,29 @@ def _plane_literal(p: int, dim: int) -> str:
     return f"[{vals}]"
 
 
+def _lsh_sketch_ctes(dim: int = 64, n_tables: int = 12, r: int = 3) -> str:
+    """The `e` / `sk` / `bt` CTEs: per-vector double list + per-table
+    sign-bit AND-bucket ids, recomputed by DuckDB from the inlined plane
+    literals.  Shared by the knn_lsh and cosine_neardup_lsh oracles."""
+    bucket_cols = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"{1 << b} * CAST(list_dot_product(ve, {_plane_literal(t * r + b, dim)}) > 0 AS BIGINT)"
+            for b in range(r)
+        )
+        bucket_cols.append(f"({bits}) AS b{t}")
+    bucket_case = " ".join(f"WHEN {t} THEN b{t}" for t in range(n_tables))
+    return f"""e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    sk AS (SELECT vec_id, ve, {", ".join(bucket_cols)} FROM e),
+    bt AS (
+      SELECT vec_id, ve, t, CASE t {bucket_case} END AS bucket
+      FROM sk CROSS JOIN (SELECT unnest(range(0, {n_tables})) AS t)
+    )"""
+
+
 def _lsh_oracle(dim: int = 64, n_tables: int = 12, r: int = 3, k: int = 3) -> str:
     """Full SQL re-computation of knn_lsh: the hyperplanes are INPUT
     constants (seed-derived, data-independent), so inlining them as literals
@@ -69,24 +92,8 @@ def _lsh_oracle(dim: int = 64, n_tables: int = 12, r: int = 3, k: int = 3) -> st
     sign only when |dot| is within ~1e-13 of 0 — never observed on the
     deterministic corpus, and the driver's 4-decimal float normalization
     absorbs the cosine side)."""
-    bucket_cols = []
-    for t in range(n_tables):
-        bits = " + ".join(
-            f"{1 << b} * CAST(list_dot_product(ve, {_plane_literal(t * r + b, dim)}) > 0 AS BIGINT)"
-            for b in range(r)
-        )
-        bucket_cols.append(f"({bits}) AS b{t}")
-    bucket_case = " ".join(f"WHEN {t} THEN b{t}" for t in range(n_tables))
     return f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-      FROM embeddings
-    ),
-    sk AS (SELECT vec_id, ve, {", ".join(bucket_cols)} FROM e),
-    bt AS (
-      SELECT vec_id, ve, t, CASE t {bucket_case} END AS bucket
-      FROM sk CROSS JOIN (SELECT unnest(range(0, {n_tables})) AS t)
-    ),
+    WITH {_lsh_sketch_ctes(dim, n_tables, r)},
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, q.ve AS qv,
                       c.vec_id AS neighbor_id, c.ve AS cv

@@ -122,3 +122,24 @@ def test_ivf_centroids_deterministic(spark):
     c1 = similarity.kmeans_centroids(e, dim=64, k=8, iters=2)
     c2 = similarity.kmeans_centroids(e, dim=64, k=8, iters=2)
     assert np.array_equal(c1, c2)
+
+
+def test_neardup_lsh_subset_and_recall(spark):
+    """cosine_neardup_lsh must be a strict SUBSET of the exact all-pairs
+    near-dup result (it is exact cosine on LSH candidates) and recover the
+    large majority of true pairs at threshold 0.40 (OR-of-ANDs candidate
+    recall ~0.97 at 12x3)."""
+    e = spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.cosine_pairs_block(e, threshold=0.40).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.cosine_neardup_lsh(e, threshold=0.40, dim=64).collect()
+    }
+    assert set(approx) <= set(exact), "LSH pairs must be a subset of exact"
+    for k, v in approx.items():
+        assert v == exact[k], f"cos_sim mismatch on {k}"
+    recall = len(approx) / len(exact) if exact else 1.0
+    assert recall >= 0.8, f"pair recall={recall}"
