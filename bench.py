@@ -78,6 +78,9 @@ HEADLINE = [
     "translate_records",
     "full_schema_validation",
     "pipeline_funnel",
+    # interleaved-span analytics (input_hint table shape)
+    "span_reassembly",
+    "media_ref_dedup",
 ]
 
 

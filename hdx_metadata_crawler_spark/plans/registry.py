@@ -70,4 +70,5 @@ def _ensure_loaded() -> None:
     from . import queries_quality  # noqa: F401
     from . import queries_integration  # noqa: F401
     from . import queries_blocks  # noqa: F401
+    from . import queries_spans  # noqa: F401
     _LOADED = True

@@ -1,0 +1,108 @@
+"""Interleaved-span operator invariants (input_hint table shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdx_metadata_crawler_spark.operators import spans as sp
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_reassembly_roundtrip(spark):
+    """title+notes reassembled FROM the span array must equal the source
+    text for every doc (the input_hint per-row invariant, array side)."""
+    d = _docs(spark)
+    out = sp.reassemble(sp.synthesize_spans(d)).join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    bad = out.filter(F.col("title_notes") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_offsets_dense(spark):
+    """Span offsets are exactly 0..n-1 in every row."""
+    s = sp.synthesize_spans(_docs(spark))
+    bad = s.filter(
+        ~F.forall(
+            F.transform(
+                "spans", lambda sp_, i: sp_["offset"] == i.cast("int")
+            ),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_media_conservation(spark):
+    """Catalog occurrences must conserve the exploded media-span count, and
+    first_doc must be a doc that actually references the ref."""
+    d = _docs(spark)
+    s = sp.synthesize_spans(d)
+    total_media = s.select(
+        F.sum(F.size(F.filter("spans", lambda x: x["kind"] == "media"))).alias("n")
+    ).collect()[0]["n"]
+    cat = sp.media_catalog(s)
+    assert cat.agg(F.sum("n_occurrences")).collect()[0][0] == total_media
+    # first_doc really references the ref
+    refs = s.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda x: x["kind"] == "media")).alias("m"),
+    ).select("doc_id", F.col("m.media_ref").alias("media_ref"))
+    bad = (
+        cat.join(refs, ["media_ref"])
+        .groupBy("media_ref", "first_doc")
+        .agg(F.min("doc_id").alias("true_first"))
+        .filter(F.col("first_doc") != F.col("true_first"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_transitions_closed_form(spark):
+    """Kind transitions computed from the array equal the layout's closed
+    form: 0 when no media, else 2*m."""
+    m = sp.interleave_metrics(sp.synthesize_spans(_docs(spark)))
+    bad = m.filter(
+        F.col("n_transitions")
+        != F.when(F.col("n_media") == 0, 0).otherwise(2 * F.col("n_media"))
+    ).count()
+    assert bad == 0
+
+
+def test_frontier_spans_reassemble(spark):
+    """The analytics operators consume the CRAWL ENGINE's own output shape:
+    reassembling the frontier's build_spans documents reproduces
+    title+notes and counts media spans = resource count."""
+    from hdx_metadata_crawler_spark.sources import synthetic
+    from hdx_metadata_crawler_spark.streaming.frontier import (
+        _FETCH_SCHEMA,
+        _fetch_batches,
+        build_spans,
+    )
+    from hdx_metadata_crawler_spark.functions.url import url_hash
+
+    urls = synthetic.seed_urls(40)
+    df = spark.createDataFrame([(u,) for u in urls], "canon_url string").select(
+        "canon_url",
+        url_hash(F.col("canon_url")).alias("url_hash"),
+        F.lit("h").alias("host"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("attempt"),
+        F.lit(0).alias("time_slot"),
+    )
+    fetched = df.mapInPandas(_fetch_batches, _FETCH_SCHEMA).withColumn(
+        "round", F.lit(0)
+    )
+    docs = build_spans(fetched.filter(F.col("status") == "ok"))
+    out = sp.reassemble(docs.select("doc_id", "spans"))
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # frontier layout: [title] + tags + resources(name, media) + [notes]
+        assert r["n_spans"] >= 2
+        assert r["full_text"]  # text spans reassemble to non-empty text
