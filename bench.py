@@ -43,7 +43,8 @@ HEADLINE = [
     "top10_orders_revenue",
     "top3_orders_per_customer",
     "events_hourly",
-    "classify_documents",   # plan variant (unregistered; see EXTRA_QUERIES)
+    "classify_documents",   # plan variant (unregistered; injected via the
+                            # qs.setdefault(...) block in main())
     "token_counts_top20",
     "doc_quality",
     "minhash_lsh_dedup",

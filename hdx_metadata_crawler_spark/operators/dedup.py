@@ -181,6 +181,14 @@ def md5_base28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+# DuckDB twins of md5_base28 / md5_hash60 (below) — .format(x=<expr>) into
+# oracle SQL.  Single source of truth: every oracle that mirrors an
+# md5-keyed sketch must use these, so a change to the hash definition can
+# never leave a Spark column and its SQL twin silently divergent.
+MD5_BASE28_SQL = "('0x' || substr(md5({x}), 1, 7))::BIGINT"
+MD5_HASH60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
 def affine_consts(i: int) -> tuple[int, int]:
     """Deterministic multiplier/offset for seed i: (a*h + b) mod (2^31-1).
     a < 2^31 and h < 2^28 keep the product under 2^59 — no 64-bit overflow

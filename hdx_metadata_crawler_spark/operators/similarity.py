@@ -269,7 +269,40 @@ def cosine_neardup_lsh(
     recall at threshold t follows the OR-of-ANDs curve 1-(1-(1-θ/π)^r)^T
     (θ = acos(t)) — ~0.97 for t=0.40 at the 12×3 default, rising with
     n_tables at linear cost.  Subset + recall-floor asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    Shape: ONE shuffle of the bucketed vectors on (table, bucket), one
+    numpy GEMM per bucket emitting only the (id_a < id_b, cos >= t) hits,
+    then a distinct over the slim hit rows (a pair colliding in several
+    tables scores identically, so dropDuplicates keeps one).  The earlier
+    self-join form replicated both 64-double payloads into every candidate
+    row and re-shuffled all of them through dropDuplicates BEFORE scoring —
+    measured 21 s vs ~3 s for this form at sf0.1.  Task memory is one
+    bucket's vectors; a pathological hot bucket is bounded by raising
+    planes_per_table (finer buckets), the same lever the join form had."""
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        mat = _safe_normalize(mat)
+        sims = mat @ mat.T
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        hit = (np.round(sims, 4) >= threshold) & (ids[:, None] < ids[None, :])
+        bi, bj = np.nonzero(hit)
+        return pd.DataFrame(
+            {"id_a": ids[bi], "id_b": ids[bj], "cos_sim": np.round(sims[bi, bj], 4)}
+        )
+
     b = corpus.select(
         F.col(id_col).alias("_id"),
         as_double(F.col(vec_col)).alias("_v"),
@@ -277,30 +310,10 @@ def cosine_neardup_lsh(
             lsh_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
         ).alias("table", "bucket"),
     )
-    x = b.alias("x")
-    y = b.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.table") == F.col("y.table"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x._id") < F.col("y._id")),
-        )
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.col("x._v").alias("va"),
-            F.col("y._v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
     return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        b.groupBy("table", "bucket")
+        .applyInPandas(lambda _, pdf: bucket_pairs(pdf), out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -403,7 +416,12 @@ def _assign_cell(vec_col: Column, centroids: np.ndarray, n_probe: int = 1) -> Co
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         mat = _safe_normalize(mat)
         sims = mat @ cn.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        # stable sort => ties broken by LOWEST cell index, matching both the
+        # n_probe==1 argmax path (first max) and the DuckDB oracle's
+        # row_number() ORDER BY dot DESC, cell ASC — without it, equal dots
+        # at the probe boundary pick an arbitrary, numpy-version-dependent
+        # probe set (worst case: the all-zero embedding ties ALL cells).
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(top.astype(np.int64)))
 
     return _many(vec_col)

@@ -111,9 +111,13 @@ def reassemble(df: DataFrame) -> DataFrame:
         F.size("spans").alias("n_spans"),
         F.size(F.filter(spans, lambda s: s["kind"] == "media")).alias("n_media"),
         F.array_join(texts, "").alias("full_text"),
-        F.concat(F.element_at(texts, 1), F.element_at(texts, -1)).alias(
-            "title_notes"
-        ),
+        # <2 text spans: element_at(1)/(−1) would alias the same span (or go
+        # NULL on zero) — define title_notes as '' / the lone span instead.
+        F.when(F.size(texts) >= 2,
+               F.concat(F.element_at(texts, 1), F.element_at(texts, -1)))
+        .when(F.size(texts) == 1, F.element_at(texts, 1))
+        .otherwise(F.lit(""))
+        .alias("title_notes"),
     )
 
 
@@ -137,11 +141,14 @@ def interleave_metrics(df: DataFrame) -> DataFrame:
     spans = _sorted_spans(F.col("spans"))
     kinds = F.transform(spans, lambda s: s["kind"])
     n = F.size(kinds)
+    # greatest(n-1, 0): slice() rejects negative lengths at runtime, and an
+    # empty spans array (legal in the input_hint schema) would pass -1.
+    adj = F.greatest(n - 1, F.lit(0))
     trans = F.size(
         F.filter(
             F.zip_with(
-                F.slice(kinds, 1, n - 1),
-                F.slice(kinds, 2, n - 1),
+                F.slice(kinds, 1, adj),
+                F.slice(kinds, 2, adj),
                 lambda a, b: a != b,
             ),
             lambda x: x,

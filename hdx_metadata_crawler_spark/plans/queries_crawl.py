@@ -145,7 +145,7 @@ _CANON_CTE = """
       FROM documents
     )
 """
-_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+from ..operators.dedup import MD5_HASH60_SQL as _H60  # noqa: E402
 
 
 @register(

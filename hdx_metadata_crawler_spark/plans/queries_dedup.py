@@ -84,7 +84,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bases AS (
       SELECT doc_id,
              list_transform(shingles,
-                            s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS bh
+                            s -> {dedup.MD5_BASE28_SQL.format(x='s')}) AS bh
       FROM sh
     ),
     sigs AS (
@@ -97,10 +97,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     banded AS (
       SELECT doc_id, b,
-             ('0x' || substr(md5(
+             {dedup.MD5_HASH60_SQL.format(x='''
                CAST(sig[b*4+1] AS VARCHAR) || ',' || CAST(sig[b*4+2] AS VARCHAR)
                || ',' || CAST(sig[b*4+3] AS VARCHAR) || ',' || CAST(sig[b*4+4] AS VARCHAR)
-             ), 1, 15))::BIGINT AS bucket
+             ''')} AS bucket
       FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
     ),
     pairs AS (
@@ -233,7 +233,7 @@ def _simhash_oracle_cte() -> str:
       FROM documents),
     hashes AS (
       SELECT doc_id,
-             list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+             list_transform(toks, t -> {dedup.MD5_HASH60_SQL.format(x='t')})
                AS hs
       FROM toks),
     fps AS (

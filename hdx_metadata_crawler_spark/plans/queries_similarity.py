@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity
+from ..operators.dedup import MD5_HASH60_SQL
 from ..sources.tables import load_table
 from .registry import register
 
@@ -163,7 +164,7 @@ def _ivf_oracle(
         f"""cent0 AS (
       SELECT cell, cv FROM (
         SELECT row_number() OVER (
-                 ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                 ORDER BY {MD5_HASH60_SQL.format(x='CAST(vec_id AS VARCHAR)')},
                           vec_id) - 1 AS cell,
                ve AS cv
         FROM vecs

@@ -113,6 +113,23 @@ def test_ivf_recall_floor(spark):
     assert recall >= 0.5, f"recall={recall}"
 
 
+def test_ivf_probe_tiebreak_lowest_cell(spark):
+    """Equal query-centroid dots must probe the LOWEST cells (the oracle's
+    ORDER BY dot DESC, cell ASC contract). The all-zero embedding ties
+    every cell, so its probe set must be cells [0..n_probe-1] exactly —
+    unstable argsort would pick an arbitrary, numpy-version-dependent set."""
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    centroids = np.ones((8, 4))  # any vector ties all 8 cells
+    df = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, v array<double>")
+    cells = df.select(
+        similarity._assign_cell(F.col("v"), centroids, n_probe=3).alias("c")
+    ).collect()[0]["c"]
+    assert cells == [0, 1, 2]
+
+
 def test_ivf_centroids_deterministic(spark):
     import numpy as np
 

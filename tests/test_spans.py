@@ -73,6 +73,32 @@ def test_transitions_closed_form(spark):
     assert bad == 0
 
 
+def test_degenerate_span_arrays(spark):
+    """Empty and single-span rows are legal in the input_hint schema and
+    must not crash: slice() length guard in interleave_metrics, title_notes
+    definition in reassemble."""
+    schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, []),
+            (2, [("text", "only", "", 0)]),
+            (3, [("media", "", "ref://x", 0)]),
+        ],
+        schema,
+    )
+    m = {r["doc_id"]: r for r in sp.interleave_metrics(df).collect()}
+    assert m[1]["n_spans"] == 0 and m[1]["n_transitions"] == 0
+    assert m[2]["n_transitions"] == 0 and m[2]["text_chars"] == 4
+    assert m[3]["n_media"] == 1
+    r = {r["doc_id"]: r for r in sp.reassemble(df).collect()}
+    assert r[1]["title_notes"] == "" and r[1]["full_text"] == ""
+    assert r[2]["title_notes"] == "only"  # lone span, not doubled
+    assert r[3]["title_notes"] == ""
+
+
 def test_frontier_spans_reassemble(spark):
     """The analytics operators consume the CRAWL ENGINE's own output shape:
     reassembling the frontier's build_spans documents reproduces
