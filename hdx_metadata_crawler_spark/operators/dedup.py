@@ -344,6 +344,7 @@ def simhash_hamming_pairs(
     text_col: str,
     max_distance: int = 3,
     hash_fn=None,
+    effective_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_distance, WITHOUT
     all-pairs: pigeonhole chunk bucketing.
@@ -357,10 +358,25 @@ def simhash_hamming_pairs(
     fingerprints-only tier into an actual dedup path at scale.  Recall is
     EXACT (the pigeonhole bound is a guarantee, not probabilistic) —
     asserted against brute force in tests/test_dedup.py.
+
+    ``effective_bits``: chunk only the bits the hash can actually set (a
+    60-bit token hash leaves fingerprint bits 60-63 always 0).  Differing
+    bits all live in the low effective_bits, so the pigeonhole guarantee
+    holds either way; candidate volume, however, is corpus-dependent in
+    BOTH directions — simhash bits are correlated across similar docs, so
+    narrower chunks can produce MORE hot-bucket collisions, not fewer
+    (measured 2.9M vs 2.4M candidates at width 15 vs 16 on sf0.1).  It is a
+    tuning lever to measure, not a free win.
+
+    No cache on the fingerprint sub-plan: both self-join sides shuffle the
+    identical chunk plan, so Spark's ReusedExchange computes the expensive
+    bit-sum stage once already — an eager cache ADDS a job and measured
+    slower (5.8s vs 3.0s warm at sf0.1).  Most of a cold run is whole-stage
+    codegen compiling the 64-term bit-sum expression, not data.
     """
     n_chunks = max_distance + 1
-    assert 64 % n_chunks == 0, "chunk count must divide 64"
-    width = 64 // n_chunks
+    assert effective_bits % n_chunks == 0, "chunk count must divide bit width"
+    width = effective_bits // n_chunks
     mask = (1 << width) - 1
 
     fp = simhash64(df, id_col, text_col, hash_fn=hash_fn)
@@ -394,15 +410,13 @@ def simhash_hamming_pairs(
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
-            F.col("x.simhash").alias("sim_a"),
-            F.col("y.simhash").alias("sim_b"),
+            hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        candidates.withColumn(
-            "hamming", hamming64(F.col("sim_a"), F.col("sim_b"))
-        )
-        .filter(F.col("hamming") <= max_distance)
-        .select("id_a", "id_b", "hamming")
-    )
+    # verify BEFORE dedup: hamming is identical for every duplicate of a
+    # pair, so filtering first is equivalent — and the distinct then
+    # shuffles only the true near-dup pairs instead of every shared-chunk
+    # candidate with both fingerprint payloads.
+    return candidates.filter(
+        F.col("hamming") <= max_distance
+    ).dropDuplicates(["id_a", "id_b"])

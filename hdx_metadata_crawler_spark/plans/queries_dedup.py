@@ -271,7 +271,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="SimHash near-dup PAIRS at hamming <= 3 via pigeonhole chunk "
         "bucketing (4 x 16-bit chunks: a pair within distance 3 must share "
-        "one exact chunk) — shuffle on (chunk_idx, chunk_value), constant "
+        "one exact chunk; 16-bit chunks measured fewer hot-bucket "
+        "candidates than 15-bit over the 60 effective hash bits — "
+        "correlated fingerprint bits, see operators/dedup.py) — shuffle on "
+        "(chunk_idx, chunk_value), constant "
         "fan-out 4 per doc, never all-pairs; exact bit_count(xor) verify "
         "inside buckets. Keyed on the portable md5 hash so the DuckDB "
         "oracle can brute-force ALL pairs independently — the value-hash "
