@@ -82,6 +82,7 @@ HEADLINE = [
     # interleaved-span analytics (input_hint table shape)
     "span_reassembly",
     "media_ref_dedup",
+    "stream_span_ingest",
 ]
 
 

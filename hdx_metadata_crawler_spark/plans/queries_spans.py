@@ -11,6 +11,8 @@ over the crawled corpus itself."""
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,4 +116,77 @@ def span_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_spans").cast("long")).alias("total_spans"),
         F.sum(F.col("n_transitions").cast("long")).alias("total_transitions"),
         F.round(F.avg("text_chars"), 2).alias("avg_text_chars"),
+    )
+
+
+# deterministic crawl-arrival time: 2024-01-01 UTC + (doc_id*37 % 5000) min
+_TS_EPOCH = 1_704_067_200
+_TS_SQL = f"to_timestamp({_TS_EPOCH} + (doc_id * 37 % 5000) * 60)"
+
+
+@register(
+    "stream_span_ingest",
+    f"""
+    SELECT strftime(date_trunc('hour', {_TS_SQL}), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           count(*) AS n_docs,
+           CAST(sum(doc_id % 3) AS BIGINT) AS media_spans,
+           CAST(sum(2 + 2 * (doc_id % 3)) AS BIGINT) AS total_spans,
+           CAST(sum(len(text) + {_LABEL_LEN}) AS BIGINT) AS text_chars
+    FROM documents
+    WHERE date_trunc('hour', {_TS_SQL}) + INTERVAL 1 HOUR
+          <= (SELECT max({_TS_SQL}) FROM documents) - INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+    doc="Streaming ingest of the interleaved span table (input_hint shape): "
+        "a Structured-Streaming read of arriving documents, span synthesis "
+        "+ per-doc interleave metrics computed as array algebra INSIDE the "
+        "stream (map-only, streaming-safe), then a watermarked hourly "
+        "rollup of doc/span/media volume in APPEND mode — each window "
+        "emitted once when the 2h watermark passes, state evicted "
+        "(the scale-correct form; same contract as stream_hourly_rollup). "
+        "Arrival time is derived deterministically from doc_id, so the "
+        "DuckDB oracle reproduces windows, watermark cutoff and every sum "
+        "in closed form.",
+)
+def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    table = f"stream_spans_{int(time.time() * 1000) % 10**9}"
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ts = F.timestamp_seconds(
+        F.lit(_TS_EPOCH) + (F.col("doc_id") * 37 % 5000) * 60
+    )
+    metrics = sp.interleave_metrics(
+        sp.synthesize_spans(docs)
+    ).withColumn("ts", ts)
+    rollup = (
+        metrics.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_media").cast("long")).alias("media_spans"),
+            F.sum(F.col("n_spans").cast("long")).alias("total_spans"),
+            F.sum(F.col("text_chars").cast("long")).alias("text_chars"),
+        )
+    )
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n_docs",
+        "media_spans",
+        "total_spans",
+        "text_chars",
     )
