@@ -99,6 +99,61 @@ def test_degenerate_span_arrays(spark):
     assert r[3]["title_notes"] == ""
 
 
+def test_random_span_arrays_match_python_reference(spark):
+    """Seeded pseudo-random span arrays (uneven offsets with gaps, shuffled
+    order, any kind mix, empty/single rows) — reassemble and
+    interleave_metrics must match a plain-Python reference on every row.
+    One Spark pass over 200 rows, no per-example jobs."""
+    import random
+
+    rng = random.Random(20260817)
+    rows = []
+    for doc_id in range(200):
+        n = rng.choice([0, 1, 1, 2, 3, 5, 8])
+        offsets = rng.sample(range(0, 50), n)  # unique, gappy
+        spans = []
+        for off in offsets:
+            if rng.random() < 0.4:
+                spans.append(("media", "", f"ref://{rng.randint(0, 9)}", off))
+            else:
+                spans.append(("text", f"t{rng.randint(0, 99)}.", "", off))
+        rng.shuffle(spans)
+        rows.append((doc_id, spans))
+    schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    def ref(spans):
+        s = sorted(spans, key=lambda x: x[3])
+        texts = [x[1] for x in s if x[0] == "text"]
+        kinds = [x[0] for x in s]
+        return {
+            "full_text": "".join(texts),
+            "title_notes": (texts[0] + texts[-1]) if len(texts) >= 2
+                           else (texts[0] if texts else ""),
+            "n_media": sum(1 for x in s if x[0] == "media"),
+            "n_spans": len(s),
+            "n_transitions": sum(
+                1 for a, b in zip(kinds, kinds[1:]) if a != b
+            ),
+            "text_chars": sum(len(t) for t in texts),
+        }
+
+    expected = {doc_id: ref(spans) for doc_id, spans in rows}
+    got_r = {r["doc_id"]: r for r in sp.reassemble(df).collect()}
+    got_m = {r["doc_id"]: r for r in sp.interleave_metrics(df).collect()}
+    for doc_id, e in expected.items():
+        r, m = got_r[doc_id], got_m[doc_id]
+        assert r["full_text"] == e["full_text"], doc_id
+        assert r["title_notes"] == e["title_notes"], doc_id
+        assert r["n_media"] == e["n_media"] == m["n_media"], doc_id
+        assert r["n_spans"] == e["n_spans"] == m["n_spans"], doc_id
+        assert m["n_transitions"] == e["n_transitions"], doc_id
+        assert m["text_chars"] == e["text_chars"], doc_id
+
+
 def test_frontier_spans_reassemble(spark):
     """The analytics operators consume the CRAWL ENGINE's own output shape:
     reassembling the frontier's build_spans documents reproduces
