@@ -187,3 +187,22 @@ def test_frontier_spans_reassemble(spark):
         # frontier layout: [title] + tags + resources(name, media) + [notes]
         assert r["n_spans"] >= 2
         assert r["full_text"]  # text spans reassemble to non-empty text
+
+    # full analytics stack over the SAME crawl output: media dedup catalog
+    # conserves the exploded media-span count, and exact-dedup + simhash
+    # consume the reassembled text without error — the engine's dedup layer
+    # runs directly on what its own frontier emits.
+    span_df = docs.select("doc_id", "spans")
+    cat = sp.media_catalog(span_df)
+    total_media = span_df.select(
+        F.sum(F.size(F.filter("spans", lambda x: x["kind"] == "media"))).alias("n")
+    ).collect()[0]["n"]
+    assert cat.agg(F.sum("n_occurrences")).collect()[0][0] == total_media
+
+    from hdx_metadata_crawler_spark.operators import dedup as dd
+
+    texts = sp.reassemble(span_df).select("doc_id", F.col("full_text").alias("text"))
+    groups = dd.exact_dedup(texts, ["text"], "doc_id")
+    assert groups.count() <= texts.count()
+    fps = dd.simhash64(texts, "doc_id", "text")
+    assert fps.count() == texts.count()
