@@ -119,6 +119,52 @@ def span_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_fetch_schedule",
+    f"""
+    WITH occ AS (
+      SELECT doc_id, (doc_id * 7 + 13 * j) % {sp.REF_UNIVERSE} AS rid
+      FROM documents, unnest(range(0, doc_id % 3)) AS t(j)
+    ),
+    refs AS (
+      SELECT {_REF_SQL} AS media_ref,
+             'cdn' || CAST(rid % 2 AS VARCHAR) || '.example.org' AS host,
+             min(doc_id) AS first_doc
+      FROM occ GROUP BY rid
+    )
+    SELECT media_ref, host, first_doc,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY first_doc, media_ref) AS fetch_seq,
+           CAST(floor((row_number() OVER (PARTITION BY host
+                                          ORDER BY first_doc, media_ref) - 1)
+                      / 2) AS BIGINT) AS time_slot
+    FROM refs
+    """,
+    doc="Second-tier fetch plan: the media-asset dedup catalog "
+        "(media_ref_dedup's first-seen pass) scheduled into per-host "
+        "politeness slots at 2 req/slot, earliest-seen assets first — the "
+        "binary-fetch round a crawl pipeline runs AFTER the page crawl, "
+        "over refs the interleaved span table surfaced. One ref-keyed "
+        "dedup shuffle + one host-partitioned window; host comes from the "
+        "ref URL itself (regexp extract, JVM-side).",
+)
+def media_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cat = sp.media_catalog(sp.synthesize_spans(d)).select(
+        "media_ref",
+        F.regexp_extract("media_ref", r"^https?://([^/]+)/", 1).alias("host"),
+        "first_doc",
+    )
+    w = Window.partitionBy("host").orderBy("first_doc", "media_ref")
+    return (
+        cat.withColumn("fetch_seq", F.row_number().over(w))
+        .withColumn("time_slot", F.floor((F.col("fetch_seq") - 1) / 2).cast("long"))
+        .select("media_ref", "host", "first_doc", "fetch_seq", "time_slot")
+    )
+
+
 # deterministic crawl-arrival time: 2024-01-01 UTC + (doc_id*37 % 5000) min
 _TS_EPOCH = 1_704_067_200
 _TS_SQL = f"to_timestamp({_TS_EPOCH} + (doc_id * 37 % 5000) * 60)"
