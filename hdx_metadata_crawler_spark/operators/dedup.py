@@ -344,7 +344,6 @@ def simhash_hamming_pairs(
     text_col: str,
     max_distance: int = 3,
     hash_fn=None,
-    effective_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_distance, WITHOUT
     all-pairs: pigeonhole chunk bucketing.
@@ -359,14 +358,11 @@ def simhash_hamming_pairs(
     EXACT (the pigeonhole bound is a guarantee, not probabilistic) —
     asserted against brute force in tests/test_dedup.py.
 
-    ``effective_bits``: chunk only the bits the hash can actually set (a
-    60-bit token hash leaves fingerprint bits 60-63 always 0).  Differing
-    bits all live in the low effective_bits, so the pigeonhole guarantee
-    holds either way; candidate volume, however, is corpus-dependent in
-    BOTH directions — simhash bits are correlated across similar docs, so
-    narrower chunks can produce MORE hot-bucket collisions, not fewer
-    (measured 2.9M vs 2.4M candidates at width 15 vs 16 on sf0.1).  It is a
-    tuning lever to measure, not a free win.
+    Chunking width stays 64/n_chunks even for a 60-bit hash (bits 60-63
+    always 0): chunking only the 60 live bits was tried and REJECTED by
+    measurement — simhash bits are correlated across similar docs, so the
+    narrower chunks produced MORE hot-bucket collisions, not fewer (2.9M
+    vs 2.4M candidates at width 15 vs 16 on sf0.1).
 
     No cache on the fingerprint sub-plan: both self-join sides shuffle the
     identical chunk plan, so Spark's ReusedExchange computes the expensive
@@ -375,8 +371,8 @@ def simhash_hamming_pairs(
     codegen compiling the 64-term bit-sum expression, not data.
     """
     n_chunks = max_distance + 1
-    assert effective_bits % n_chunks == 0, "chunk count must divide bit width"
-    width = effective_bits // n_chunks
+    assert 64 % n_chunks == 0, "chunk count must divide 64"
+    width = 64 // n_chunks
     mask = (1 << width) - 1
 
     fp = simhash64(df, id_col, text_col, hash_fn=hash_fn)

@@ -11,8 +11,6 @@ over the crawled corpus itself."""
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,6 +27,12 @@ _REF_SQL = (
     "'https://cdn' || CAST(rid % 2 AS VARCHAR) "
     "|| '.example.org/media/m' || CAST(rid AS VARCHAR) || '.png'"
 )
+# SQL twin of operators/spans.media_ref_for's (doc_id, j) -> rid explode —
+# single source for every oracle that derives the media-ref universe.
+_OCC_CTE = f"""occ AS (
+      SELECT doc_id, (doc_id * 7 + 13 * j) % {sp.REF_UNIVERSE} AS rid
+      FROM documents, unnest(range(0, doc_id % 3)) AS t(j)
+    )"""
 
 
 @register(
@@ -65,10 +69,7 @@ def span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_ref_dedup",
     f"""
-    WITH occ AS (
-      SELECT doc_id, (doc_id * 7 + 13 * j) % {sp.REF_UNIVERSE} AS rid
-      FROM documents, unnest(range(0, doc_id % 3)) AS t(j)
-    )
+    WITH {_OCC_CTE}
     SELECT {_REF_SQL} AS media_ref,
            count(*) AS n_occurrences,
            count(DISTINCT doc_id) AS n_docs,
@@ -122,10 +123,7 @@ def span_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_fetch_schedule",
     f"""
-    WITH occ AS (
-      SELECT doc_id, (doc_id * 7 + 13 * j) % {sp.REF_UNIVERSE} AS rid
-      FROM documents, unnest(range(0, doc_id % 3)) AS t(j)
-    ),
+    WITH {_OCC_CTE},
     refs AS (
       SELECT {_REF_SQL} AS media_ref,
              'cdn' || CAST(rid % 2 AS VARCHAR) || '.example.org' AS host,
@@ -167,21 +165,25 @@ def media_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deterministic crawl-arrival time: 2024-01-01 UTC + (doc_id*37 % 5000) min
 _TS_EPOCH = 1_704_067_200
-_TS_SQL = f"to_timestamp({_TS_EPOCH} + (doc_id * 37 % 5000) * 60)"
+# integer epoch seconds — ALL window/watermark arithmetic in the oracle is
+# integer math on instants, never rendered timestamps, so the comparison is
+# immune to the DuckDB session TimeZone (to_timestamp/date_trunc/strftime
+# render TIMESTAMPTZ in host-local time and only match Spark on UTC hosts).
+_EPOCH_SQL = f"({_TS_EPOCH} + (doc_id * 37 % 5000) * 60)"
+_WSTART_SQL = f"(({_EPOCH_SQL} // 3600) * 3600)"
 
 
 @register(
     "stream_span_ingest",
     f"""
-    SELECT strftime(date_trunc('hour', {_TS_SQL}), '%Y-%m-%d %H:%M:%S')
-             AS window_start,
+    SELECT CAST({_WSTART_SQL} AS BIGINT) AS window_start_epoch,
            count(*) AS n_docs,
            CAST(sum(doc_id % 3) AS BIGINT) AS media_spans,
            CAST(sum(2 + 2 * (doc_id % 3)) AS BIGINT) AS total_spans,
            CAST(sum(len(text) + {_LABEL_LEN}) AS BIGINT) AS text_chars
     FROM documents
-    WHERE date_trunc('hour', {_TS_SQL}) + INTERVAL 1 HOUR
-          <= (SELECT max({_TS_SQL}) FROM documents) - INTERVAL 2 HOUR
+    WHERE {_WSTART_SQL} + 3600
+          <= (SELECT max({_EPOCH_SQL}) FROM documents) - 7200
     GROUP BY 1
     """,
     doc="Streaming ingest of the interleaved span table (input_hint shape): "
@@ -191,13 +193,15 @@ _TS_SQL = f"to_timestamp({_TS_EPOCH} + (doc_id * 37 % 5000) * 60)"
         "rollup of doc/span/media volume in APPEND mode — each window "
         "emitted once when the 2h watermark passes, state evicted "
         "(the scale-correct form; same contract as stream_hourly_rollup). "
-        "Arrival time is derived deterministically from doc_id, so the "
-        "DuckDB oracle reproduces windows, watermark cutoff and every sum "
-        "in closed form.",
+        "Arrival time derives deterministically from doc_id, and windows "
+        "are reported as epoch seconds: Spark's tumbling windows align on "
+        "the raw instant, so window.start cast to long equals the oracle's "
+        "pure-integer floor(epoch/3600)*3600 under ANY session timezone.",
 )
 def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_streaming import drain_stream_to_memory
+
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    table = f"stream_spans_{int(time.time() * 1000) % 10**9}"
     docs = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -219,18 +223,8 @@ def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("text_chars").cast("long")).alias("text_chars"),
         )
     )
-    q = (
-        rollup.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(table).select(
-        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
+    return drain_stream_to_memory(spark, rollup, "stream_spans").select(
+        F.col("window.start").cast("long").alias("window_start_epoch"),
         "n_docs",
         "media_spans",
         "total_spans",

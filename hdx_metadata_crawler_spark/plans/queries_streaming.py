@@ -20,6 +20,24 @@ from ..sources.tables import load_table
 from .registry import register
 
 
+def drain_stream_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    """Run a streaming DataFrame to completion under the availableNow
+    trigger into a uniquely-named memory sink and return the drained table.
+    The one fiddly piece of streaming-query boilerplate (append mode +
+    availableNow + unique queryName so repeated runs in one session never
+    collide), shared by every streaming registry query."""
+    table = f"{prefix}_{int(time.time() * 1000) % 10**9}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 @register(
     "stream_hourly_rollup",
     """
@@ -43,7 +61,6 @@ from .registry import register
 )
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    table = f"stream_hourly_{int(time.time() * 1000) % 10**9}"
     stream = (
         spark.readStream.schema(schema)
         # The file-stream source requires a directory basePath; select just
@@ -57,15 +74,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(table).select(
+    return drain_stream_to_memory(spark, stream, "stream_hourly").select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n_events",
@@ -146,23 +155,15 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import first_seen_dedup_stream
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    table = f"stream_dedup_{int(time.time() * 1000) % 10**9}"
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    q = (
-        first_seen_dedup_stream(stream)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(table).select(
+    return drain_stream_to_memory(
+        spark, first_seen_dedup_stream(stream), "stream_dedup"
+    ).select(
         "user_id",
         "event_type",
         "event_id",
