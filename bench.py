@@ -82,7 +82,10 @@ HEADLINE = [
     # interleaved-span analytics (input_hint table shape)
     "span_reassembly",
     "media_ref_dedup",
+    "span_interleave_stats",
+    "media_fetch_schedule",
     "stream_span_ingest",
+    "stream_media_firstseen",
 ]
 
 

@@ -174,6 +174,71 @@ _WSTART_SQL = f"(({_EPOCH_SQL} // 3600) * 3600)"
 
 
 @register(
+    "stream_media_firstseen",
+    f"""
+    WITH {_OCC_CTE},
+    ranked AS (
+      SELECT rid, doc_id,
+             CAST({_EPOCH_SQL} AS BIGINT) AS ts_epoch,
+             row_number() OVER (PARTITION BY rid
+                                ORDER BY {_EPOCH_SQL}, doc_id) AS rn
+      FROM occ
+    )
+    SELECT {_REF_SQL} AS media_ref,
+           'cdn' || CAST(rid % 2 AS VARCHAR) || '.example.org' AS host,
+           doc_id AS first_doc,
+           ts_epoch AS first_epoch
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Streaming second-tier fetch frontier: media_ref_dedup's first-seen "
+        "pass as TRUE Structured-Streaming state (applyInPandasWithState "
+        "keyed by media_ref) over the arriving interleaved span table — "
+        "span synthesis + media explode map-only inside the stream, then "
+        "one stateful shuffle on the ref; each ref is emitted exactly once "
+        "with its earliest (arrival, doc) occurrence and suppressed forever "
+        "after via the checkpointed per-ref state bit. Host is derived "
+        "JVM-side from the emitted ref. Under availableNow on one file the "
+        "source is one batch, so the oracle is first-occurrence-per-ref by "
+        "(arrival epoch, doc_id) — pure integer math, timezone-free.",
+)
+def stream_media_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import media_first_seen_stream
+    from .queries_streaming import drain_stream_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    occurrences = (
+        sp.synthesize_spans(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter("spans", lambda s: s["kind"] == "media")
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.lit(_TS_EPOCH) + (F.col("doc_id") * 37 % 5000) * 60)
+            .cast("long")
+            .alias("ts_epoch"),
+        )
+    )
+    out = drain_stream_to_memory(
+        spark, media_first_seen_stream(occurrences), "stream_media"
+    )
+    return out.select(
+        "media_ref",
+        F.regexp_extract("media_ref", r"^https?://([^/]+)/", 1).alias("host"),
+        "first_doc",
+        "first_epoch",
+    )
+
+
+@register(
     "stream_span_ingest",
     f"""
     SELECT CAST({_WSTART_SQL} AS BIGINT) AS window_start_epoch,

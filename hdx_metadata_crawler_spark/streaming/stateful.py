@@ -68,6 +68,58 @@ def _first_seen_fn(
     )
 
 
+MEDIA_OUTPUT_SCHEMA = "media_ref string, first_doc long, first_epoch long"
+MEDIA_STATE_SCHEMA = "emitted boolean"
+
+
+def _media_first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cols = ["media_ref", "first_doc", "first_epoch"]
+    if state.exists:
+        # ref already emitted in an earlier micro-batch — suppress
+        for _ in pdfs:
+            pass
+        yield pd.DataFrame(columns=cols)
+        return
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out: list[dict[str, Any]] = []
+    if chunks:
+        # all of this key's chunks before picking the minimum (same
+        # multi-chunk hazard as _first_seen_fn above)
+        merged = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_epoch", "doc_id"]
+        )
+        first = merged.iloc[0]
+        out.append(
+            {
+                "media_ref": key[0],
+                "first_doc": int(first.doc_id),
+                "first_epoch": int(first.ts_epoch),
+            }
+        )
+        state.update((True,))
+    yield pd.DataFrame(out, columns=cols)
+
+
+def media_first_seen_stream(occurrences: DataFrame) -> DataFrame:
+    """Streaming media-asset dedup: occurrences(media_ref, doc_id, ts_epoch)
+    readStream -> exactly one row per ref, carrying its earliest
+    (arrival, doc) occurrence.  The second-tier-fetch frontier expressed as
+    TRUE streaming state: the per-ref 'already scheduled' bit lives in the
+    checkpointed state store, so a ref re-surfacing in any later micro-batch
+    is suppressed without re-reading history.  Shuffle key = media_ref; state
+    is one boolean per distinct ref (TTL-bounded in production, like the
+    bloom partitions' eviction story)."""
+    return occurrences.groupBy("media_ref").applyInPandasWithState(
+        _media_first_seen_fn,
+        outputStructType=MEDIA_OUTPUT_SCHEMA,
+        stateStructType=MEDIA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def first_seen_dedup_stream(events: DataFrame) -> DataFrame:
     """events readStream -> first row per (user_id, event_type), stateful
     across micro-batches.  Shuffle key = user_id (the state key); state store

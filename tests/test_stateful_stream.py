@@ -11,7 +11,10 @@ import tempfile
 import pandas as pd
 from pyspark.sql import functions as F
 
-from hdx_metadata_crawler_spark.streaming.stateful import first_seen_dedup_stream
+from hdx_metadata_crawler_spark.streaming.stateful import (
+    first_seen_dedup_stream,
+    media_first_seen_stream,
+)
 
 
 def _run_once(spark, src_dir: str, ckpt: str, out_dir: str):
@@ -76,6 +79,69 @@ def test_state_survives_across_runs(spark):
         assert (1, "click", 20) not in emitted2, "cross-run duplicate suppressed"
         assert (2, "click", 22) not in emitted2, "cross-run duplicate suppressed"
         assert len(emitted2) == 2
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _run_media_once(spark, src_dir: str, ckpt: str, out_dir: str):
+    schema = "media_ref string, doc_id long, ts_epoch long"
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        media_first_seen_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).collect()
+
+
+def test_media_firstseen_state_survives_across_runs(spark):
+    """The per-ref 'already scheduled' bit must suppress a ref re-surfacing
+    in a later run, and the emitted occurrence must be the batch minimum by
+    (ts_epoch, doc_id) — including the equal-timestamp doc_id tie-break."""
+    src = tempfile.mkdtemp(prefix="media_src_")
+    ckpt = tempfile.mkdtemp(prefix="media_ckpt_")
+    out = tempfile.mkdtemp(prefix="media_out_")
+    try:
+        batch1 = pd.DataFrame(
+            {
+                # m7 arrives from docs 9 and 4 at the SAME epoch -> doc 4 wins
+                "media_ref": ["m7.png", "m7.png", "m3.png"],
+                "doc_id": [9, 4, 5],
+                "ts_epoch": [1000, 1000, 2000],
+            }
+        )
+        spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(src)
+        out1 = {r["media_ref"]: (r["first_doc"], r["first_epoch"])
+                for r in _run_media_once(spark, src, ckpt, out)}
+        assert out1 == {"m7.png": (4, 1000), "m3.png": (5, 2000)}
+
+        batch2 = pd.DataFrame(
+            {
+                # m7 again (earlier epoch!) -> still suppressed: first-seen is
+                # an arrival-order contract, not a global argmin re-compute;
+                # m9 is new and must emit.
+                "media_ref": ["m7.png", "m9.png"],
+                "doc_id": [1, 2],
+                "ts_epoch": [500, 3000],
+            }
+        )
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src)
+        rows = _run_media_once(spark, src, ckpt, out)
+        assert len(rows) == 3, "exactly one emission per ref, ever"
+        all_rows = {r["media_ref"]: (r["first_doc"], r["first_epoch"])
+                    for r in rows}
+        assert all_rows == {
+            "m7.png": (4, 1000),
+            "m3.png": (5, 2000),
+            "m9.png": (2, 3000),
+        }
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
