@@ -121,13 +121,20 @@ def reassemble(df: DataFrame) -> DataFrame:
     )
 
 
+def media_occurrences(df: DataFrame) -> DataFrame:
+    """Explode media spans -> one row per (doc_id, media_ref) occurrence.
+    Map-only (streaming-safe); the single place that knows which span kind
+    carries a media reference."""
+    return df.select(
+        "doc_id", F.explode(F.filter("spans", lambda s: s["kind"] == "media")).alias("s")
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+
+
 def media_catalog(df: DataFrame) -> DataFrame:
     """Explode media spans -> per-ref occurrence stats with first-seen doc
     (exact media dedup over the interleaved table: one shuffle on the ref).
     """
-    exploded = df.select(
-        "doc_id", F.explode(F.filter("spans", lambda s: s["kind"] == "media")).alias("s")
-    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    exploded = media_occurrences(df)
     return exploded.groupBy("media_ref").agg(
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),

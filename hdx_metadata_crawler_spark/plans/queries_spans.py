@@ -27,6 +27,10 @@ _REF_SQL = (
     "'https://cdn' || CAST(rid % 2 AS VARCHAR) "
     "|| '.example.org/media/m' || CAST(rid AS VARCHAR) || '.png'"
 )
+# host closed form + the Spark-side extraction regex over the ref URL —
+# pinned together: both must track operators/spans.media_ref_for's URL shape
+_HOST_SQL = "'cdn' || CAST(rid % 2 AS VARCHAR) || '.example.org'"
+_HOST_RE = r"^https?://([^/]+)/"
 # SQL twin of operators/spans.media_ref_for's (doc_id, j) -> rid explode —
 # single source for every oracle that derives the media-ref universe.
 _OCC_CTE = f"""occ AS (
@@ -126,7 +130,7 @@ def span_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_OCC_CTE},
     refs AS (
       SELECT {_REF_SQL} AS media_ref,
-             'cdn' || CAST(rid % 2 AS VARCHAR) || '.example.org' AS host,
+             {_HOST_SQL} AS host,
              min(doc_id) AS first_doc
       FROM occ GROUP BY rid
     )
@@ -152,7 +156,7 @@ def media_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cat = sp.media_catalog(sp.synthesize_spans(d)).select(
         "media_ref",
-        F.regexp_extract("media_ref", r"^https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("media_ref", _HOST_RE, 1).alias("host"),
         "first_doc",
     )
     w = Window.partitionBy("host").orderBy("first_doc", "media_ref")
@@ -173,6 +177,12 @@ _EPOCH_SQL = f"({_TS_EPOCH} + (doc_id * 37 % 5000) * 60)"
 _WSTART_SQL = f"(({_EPOCH_SQL} // 3600) * 3600)"
 
 
+def _arrival_epoch() -> F.Column:
+    """Python twin of _EPOCH_SQL — the single Spark-side source of the
+    deterministic arrival rule; keep in lockstep with the SQL constant."""
+    return (F.lit(_TS_EPOCH) + (F.col("doc_id") * 37 % 5000) * 60).cast("long")
+
+
 @register(
     "stream_media_firstseen",
     f"""
@@ -185,7 +195,7 @@ _WSTART_SQL = f"(({_EPOCH_SQL} // 3600) * 3600)"
       FROM occ
     )
     SELECT {_REF_SQL} AS media_ref,
-           'cdn' || CAST(rid % 2 AS VARCHAR) || '.example.org' AS host,
+           {_HOST_SQL} AS host,
            doc_id AS first_doc,
            ts_epoch AS first_epoch
     FROM ranked WHERE rn = 1
@@ -203,36 +213,20 @@ _WSTART_SQL = f"(({_EPOCH_SQL} // 3600) * 3600)"
 )
 def stream_media_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import media_first_seen_stream
-    from .queries_streaming import drain_stream_to_memory
+    from .queries_streaming import drain_stream_to_memory, stream_table
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    occurrences = (
-        sp.synthesize_spans(docs)
-        .select(
-            "doc_id",
-            F.explode(
-                F.filter("spans", lambda s: s["kind"] == "media")
-            ).alias("s"),
-        )
-        .select(
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("doc_id").cast("long").alias("doc_id"),
-            (F.lit(_TS_EPOCH) + (F.col("doc_id") * 37 % 5000) * 60)
-            .cast("long")
-            .alias("ts_epoch"),
-        )
+    docs = stream_table(spark, sf_dir, "documents")
+    occurrences = sp.media_occurrences(sp.synthesize_spans(docs)).select(
+        "media_ref",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _arrival_epoch().alias("ts_epoch"),
     )
     out = drain_stream_to_memory(
         spark, media_first_seen_stream(occurrences), "stream_media"
     )
     return out.select(
         "media_ref",
-        F.regexp_extract("media_ref", r"^https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("media_ref", _HOST_RE, 1).alias("host"),
         "first_doc",
         "first_epoch",
     )
@@ -264,20 +258,12 @@ def stream_media_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pure-integer floor(epoch/3600)*3600 under ANY session timezone.",
 )
 def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .queries_streaming import drain_stream_to_memory
+    from .queries_streaming import drain_stream_to_memory, stream_table
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    ts = F.timestamp_seconds(
-        F.lit(_TS_EPOCH) + (F.col("doc_id") * 37 % 5000) * 60
-    )
+    docs = stream_table(spark, sf_dir, "documents")
     metrics = sp.interleave_metrics(
         sp.synthesize_spans(docs)
-    ).withColumn("ts", ts)
+    ).withColumn("ts", F.timestamp_seconds(_arrival_epoch()))
     rollup = (
         metrics.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"))

@@ -38,6 +38,20 @@ def drain_stream_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> D
     return spark.table(table)
 
 
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Open one table of the shared sf dir as a file-stream source.  The
+    file source requires a directory basePath, so the table is selected out
+    of the dir with a glob filter; the schema is pinned from a batch read
+    (streaming reads cannot infer).  Shared by every streaming registry
+    query — the source-side twin of drain_stream_to_memory."""
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 @register(
     "stream_hourly_rollup",
     """
@@ -60,13 +74,8 @@ def drain_stream_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> D
         "the end-of-stream watermark (window_end <= max(ts) - 2h) appear.",
 )
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        # The file-stream source requires a directory basePath; select just
-        # the events table out of the shared sf dir with a glob filter.
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        stream_table(spark, sf_dir, "events")
         # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
         # tz is pinned to UTC, so the cast is value-preserving).
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -154,12 +163,8 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import first_seen_dedup_stream
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = stream_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
     return drain_stream_to_memory(
         spark, first_seen_dedup_stream(stream), "stream_dedup"

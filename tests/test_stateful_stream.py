@@ -17,13 +17,12 @@ from hdx_metadata_crawler_spark.streaming.stateful import (
 )
 
 
-def _run_once(spark, src_dir: str, ckpt: str, out_dir: str):
+def _run_stateful_once(spark, src_dir: str, ckpt: str, out_dir: str, schema: str, stream_fn):
     # parquet sink: unlike the memory sink it SUPPORTS checkpoint recovery,
-    # which is the point of this test (state survives a query restart)
-    schema = "user_id long, event_type string, event_id long, ts timestamp, value double"
+    # which is the point of these tests (state survives a query restart)
     stream = spark.readStream.schema(schema).parquet(src_dir)
     q = (
-        first_seen_dedup_stream(stream)
+        stream_fn(stream)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .outputMode("append")
@@ -33,6 +32,13 @@ def _run_once(spark, src_dir: str, ckpt: str, out_dir: str):
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).collect()
+
+
+def _run_once(spark, src_dir: str, ckpt: str, out_dir: str):
+    schema = "user_id long, event_type string, event_id long, ts timestamp, value double"
+    return _run_stateful_once(
+        spark, src_dir, ckpt, out_dir, schema, first_seen_dedup_stream
+    )
 
 
 def test_state_survives_across_runs(spark):
@@ -87,18 +93,9 @@ def test_state_survives_across_runs(spark):
 
 def _run_media_once(spark, src_dir: str, ckpt: str, out_dir: str):
     schema = "media_ref string, doc_id long, ts_epoch long"
-    stream = spark.readStream.schema(schema).parquet(src_dir)
-    q = (
-        media_first_seen_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    return _run_stateful_once(
+        spark, src_dir, ckpt, out_dir, schema, media_first_seen_stream
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir).collect()
 
 
 def test_media_firstseen_state_survives_across_runs(spark):
