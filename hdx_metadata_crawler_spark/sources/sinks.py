@@ -6,6 +6,7 @@
 | S6 JSONL append (01…ipynb:586 append_jsonl) | append one line per event | append-mode JSON-lines write |
 | S7 CSV report with fixed header (02…ipynb cell-4-1 write_report_csv) | DictWriter fixed cols | select(fixed_cols).write.csv(header) |
 | S8 TXT id list (03…ipynb cell-2-1) | one id per line | single-column text write / read |
+| S10 ZIP bundle (07…ipynb cell-15 add_folder_to_zip) | records/ + index + reports/ deflated zip | driver-side deterministic packaging of the distributed outputs |
 | S12 cleanup modes (01…ipynb cell-1-4 clean_previous_outputs) | replace/skip/abort | write-mode mapping overwrite/ignore/errorifexists |
 | T4 tiered manifest writes (13…ipynb:1338 distribute_tiered_records) | per-tier folders sorted by score | partitionBy(tier) + per-partition sort |
 
@@ -19,6 +20,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,6 +75,57 @@ def atomic_write_json(df: DataFrame, path: str) -> None:
     os.replace(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _add_folder_to_zip(z: zipfile.ZipFile, folder: str, arc_prefix: str) -> int:
+    """All files under ``folder``, sorted by relative path (the reference's
+    sorted(folder.rglob('*')) — deterministic member order), added under
+    ``arc_prefix/``.  Returns the file count (07…ipynb cell-15)."""
+    count = 0
+    paths = []
+    for root, _dirs, files in os.walk(folder):
+        for name in files:
+            full = os.path.join(root, name)
+            paths.append((os.path.relpath(full, folder), full))
+    for rel, full in sorted(paths):
+        z.write(full, arcname=os.path.join(arc_prefix, rel))
+        count += 1
+    return count
+
+
+def bundle_zip(
+    out_zip: str,
+    records_dir: str | None = None,
+    index_file: str | None = None,
+    reports_dir: str | None = None,
+) -> dict:
+    """Distributable ZIP bundle (S10; 07…ipynb cell-15): records/*.json +
+    index/rdls_index.jsonl + reports/* packaged with ZIP_DEFLATED.
+
+    Driver-side by design — packaging a deliverable is a single-machine
+    post-step over already-written outputs, not a distributed transform; at
+    cluster scale the inputs are the tiered/parquet sinks above, and this
+    runs once on the driver (or a CI step) against their committed output.
+    Written atomically (tmp + os.replace) so a crash never leaves a partial
+    bundle at ``out_zip``.  Returns the reference's packaging report counts.
+    """
+    tmp = f"{out_zip}.tmp-{uuid.uuid4().hex[:8]}"
+    records_count = reports_count = index_count = 0
+    with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_DEFLATED) as z:
+        if records_dir and os.path.isdir(records_dir):
+            records_count = _add_folder_to_zip(z, records_dir, "records")
+        if index_file and os.path.isfile(index_file):
+            z.write(index_file, arcname="index/" + os.path.basename(index_file))
+            index_count = 1
+        if reports_dir and os.path.isdir(reports_dir):
+            reports_count = _add_folder_to_zip(z, reports_dir, "reports")
+    os.replace(tmp, out_zip)
+    return {
+        "records": records_count,
+        "index": index_count,
+        "reports": reports_count,
+        "size_bytes": os.path.getsize(out_zip),
+    }
 
 
 def write_tiered(df: DataFrame, path: str, tier_col: str, order_col: str) -> None:

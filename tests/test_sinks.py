@@ -103,3 +103,57 @@ def test_atomic_write_recovers_from_crash_window(spark, tmp_path):
     sinks.atomic_write_json(df2, path)
     assert {r["v"] for r in spark.read.json(path).collect()} == {"second"}
     assert not os.path.exists(path + ".old")
+
+
+def test_bundle_zip_packages_records_index_reports(tmp_path):
+    """S10 (07…ipynb cell-15): records/ + index/rdls_index.jsonl + reports/
+    packaged deflated, deterministic member order, atomic write."""
+    import zipfile
+
+    from hdx_metadata_crawler_spark.sources import sinks
+
+    records = tmp_path / "records"
+    (records / "sub").mkdir(parents=True)
+    (records / "b.json").write_text('{"id": "b"}')
+    (records / "a.json").write_text('{"id": "a"}')
+    (records / "sub" / "c.json").write_text('{"id": "c"}')
+    index = tmp_path / "rdls_index.jsonl"
+    index.write_text('{"id": "a"}\n{"id": "b"}\n')
+    reports = tmp_path / "reports"
+    reports.mkdir()
+    (reports / "validation.csv").write_text("id,ok\na,true\n")
+
+    out = str(tmp_path / "rdls_metadata_bundle.zip")
+    report = sinks.bundle_zip(
+        out, records_dir=str(records), index_file=str(index),
+        reports_dir=str(reports),
+    )
+    assert report["records"] == 3
+    assert report["index"] == 1
+    assert report["reports"] == 1
+    assert report["size_bytes"] > 0
+
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+        # deterministic sorted-by-relpath order within each section
+        assert names == [
+            "records/a.json", "records/b.json", "records/sub/c.json",
+            "index/rdls_index.jsonl", "reports/validation.csv",
+        ]
+        assert z.getinfo("records/a.json").compress_type == zipfile.ZIP_DEFLATED
+        assert z.read("records/sub/c.json") == b'{"id": "c"}'
+    # no tmp debris
+    import glob as _glob
+    assert not _glob.glob(out + ".tmp-*")
+
+
+def test_bundle_zip_missing_sections_tolerated(tmp_path):
+    from hdx_metadata_crawler_spark.sources import sinks
+
+    out = str(tmp_path / "bundle.zip")
+    report = sinks.bundle_zip(out, records_dir=str(tmp_path / "nope"))
+    assert report == {"records": 0, "index": 0, "reports": 0,
+                      "size_bytes": report["size_bytes"]}
+    import zipfile
+    with zipfile.ZipFile(out) as z:
+        assert z.namelist() == []
