@@ -1171,6 +1171,13 @@ def _translate_parts():
         "attributions": attributions,
         "resources": resources,
         "links": links,
+        # index/QA row extras (06…ipynb info dict)
+        "scale": scale,
+        "n_countries": n_c,
+        "license_raw": lic_raw,
+        "org_token": org_token,
+        "iso3_token": iso3_tok,
+        "hz_suffix": hz_suffix,
     }
 
 
@@ -1291,6 +1298,13 @@ def _translate_sql_parts() -> dict[str, str]:
         f"(CASE WHEN {notes} <> '' THEN ',\"description\":\"' || {notes} || '\"' "
         "ELSE '' END)"
     )
+    risk_names = ", ".join(
+        f"CASE WHEN {flags[c]} THEN '{c}' END" for c in COMPONENT_ORDER
+    )
+    lic_raw = (
+        "(CASE doc_id % 3 WHEN 0 THEN 'Creative Commons Attribution International' "
+        "WHEN 1 THEN 'Open Database License (ODbL)' ELSE 'Custom License' END)"
+    )
     return {
         "blocked": blocked,
         "stem": stem,
@@ -1303,6 +1317,16 @@ def _translate_sql_parts() -> dict[str, str]:
         "attributions": attributions,
         "resources": resources,
         "links": links,
+        # index/QA row extras (06…ipynb info dict)
+        "risk_semicolon": (
+            f"array_to_string(list_filter([{risk_names}], x -> x IS NOT NULL), ';')"
+        ),
+        "scale": scale,
+        "n_countries": "(doc_id % 4)",
+        "license_raw": lic_raw,
+        "org_token": org_token,
+        "iso3_token": iso3_tok,
+        "hz_suffix": hz_suffix,
     }
 
 
@@ -1362,6 +1386,58 @@ def translate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             parts["stem"].alias("rdls_id"),
             F.to_json(_record_struct(parts)).alias("record_json"),
+        )
+    )
+
+
+def _index_oracle() -> str:
+    p = _translate_sql_parts()
+    return f"""
+    SELECT doc_id,
+           {p['stem']} AS rdls_id,
+           {p['stem']} || '.json' AS filename,
+           {p['risk_semicolon']} AS risk_data_type,
+           {p['scale']} AS spatial_scale,
+           CAST({p['n_countries']} AS INT) AS countries_count,
+           {p['license_raw']} AS license_raw,
+           {p['org_token']} AS orgtoken,
+           regexp_replace({p['hz_suffix']}, '^_', '') AS hazard_suffix,
+           {p['iso3_token']} AS iso3,
+           'written' AS status
+    FROM documents
+    WHERE NOT {p['blocked']}
+    """
+
+
+@register(
+    "rdls_index",
+    _index_oracle(),
+    doc="NB06 per-written-record index/QA row (06…ipynb info dict appended "
+        "to rdls_index.jsonl and the QA CSV): rdls_id, filename, "
+        "semicolon-joined risk_data_type, spatial scale + country count, "
+        "raw license, org/iso3 tokens, hazard suffix (leading underscore "
+        "stripped), status. Shares every derivation with translate_records "
+        "(_translate_parts) — the index is a projection of the translate "
+        "dataflow, not a second pipeline; NB07 packages it as "
+        "index/rdls_index.jsonl inside the bundle (sinks.bundle_zip).",
+)
+def rdls_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    parts = _translate_parts()
+    return (
+        d.filter(~parts["blocked"])
+        .select(
+            "doc_id",
+            parts["stem"].alias("rdls_id"),
+            F.concat(parts["stem"], F.lit(".json")).alias("filename"),
+            F.array_join(parts["risk_arr"], ";").alias("risk_data_type"),
+            parts["scale"].alias("spatial_scale"),
+            parts["n_countries"].alias("countries_count"),
+            parts["license_raw"].alias("license_raw"),
+            parts["org_token"].alias("orgtoken"),
+            F.regexp_replace(parts["hz_suffix"], "^_", "").alias("hazard_suffix"),
+            parts["iso3_token"].alias("iso3"),
+            F.lit("written").alias("status"),
         )
     )
 
