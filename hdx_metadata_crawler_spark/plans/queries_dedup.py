@@ -127,7 +127,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in tests/test_dedup.py.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     sig = dedup.minhash_signatures(
         d, "doc_id", "text", n=3, num_hashes=32, base_hash_fn=dedup.md5_base28
     )
@@ -254,7 +254,7 @@ def _simhash_oracle_cte() -> str:
         "bucketed pair path is additionally asserted in tests/test_dedup.py.",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup.simhash64(d, "doc_id", "text", hash_fn=dedup.md5_hash60).select(
         F.col("_id").alias("doc_id"), "simhash"
     )
@@ -282,7 +282,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(round-2 no_oracle row converted); production keeps xxhash64.",
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup.simhash_hamming_pairs(
         d, "doc_id", "text", max_distance=3, hash_fn=dedup.md5_hash60
     )

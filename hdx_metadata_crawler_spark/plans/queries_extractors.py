@@ -1154,7 +1154,7 @@ def _signal_bank_oracle() -> str:
         "limit; one scan, no shuffle, one explode.",
 )
 def signal_bank_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     bank = fused_bank()
     chunk_size = 22
     arrays = []

