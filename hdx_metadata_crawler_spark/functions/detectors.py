@@ -32,14 +32,21 @@ HAZARD_DETECT_PATTERNS: list[tuple[str, str]] = [
     ("drought", r"(?i)\b(drought\w*|rainfall\s+deficit|water\s+scarcity)\b"),
     ("extreme_temperature", r"(?i)\b(heat\s*wave\w*|cold\s*wave\w*|extreme\s+(heat|cold|temperature)\w*)\b"),
     ("wildfire", r"(?i)\b(wild\s*fire\w*|bush\s*fire\w*|forest\s+fire\w*|burned?\s+area)\b"),
-    ("convective_storm", r"(?i)\b(tornado\w*|hail\s*(storm)?\w*|convective\s+storm\w*|derecho\w*)\b"),
+    # hail needs the noun forms only: 'hail(\s*storm|stone)?' with a hard \b
+    # keeps 'hailstorm'/'hail storms'/'hailstones'/bare 'hail' but rejects
+    # the verb 'hailed/hailing/hails' ('widely hailed wind atlas' must fall
+    # through to strong_wind, not classify as convective_storm)
+    ("convective_storm", r"(?i)\b(tornado\w*|hail(\s*storm\w*|stone\w*)?\b|convective\s+storm\w*|derecho\w*)\b"),
     ("strong_wind", r"(?i)\b(cyclone\w*|hurricane\w*|typhoon\w*|strong\s+wind\w*|wind\s+speed|gale\w*)\b"),
     ("landslide", r"(?i)\b(landslide\w*|mud\s*slide\w*|debris\s+flow\w*|rock\s*fall\w*|avalanche\w*)\b"),
 ]
 
 # (exposure_category, pattern) — first match wins.
 EXPOSURE_DETECT_PATTERNS: list[tuple[str, str]] = [
-    ("buildings", r"(?i)\b(building\w*|housing\s+(stock|units?)|dwelling\w*|footprint\w*)\b"),
+    # no bare 'footprint': 'carbon footprint indicators' is an emissions
+    # dataset, not building exposure — footprints count only with a
+    # building context word ('building footprints' already hits building\w*)
+    ("buildings", r"(?i)\b(building\w*|housing\s+(stock|units?)|dwelling\w*)\b"),
     ("infrastructure", r"(?i)\b(infrastructure|roads?\s+network\w*|bridge\w*|power\s+grid\w*|pipeline\w*|railway\w*|hospitals?|airports?)\b"),
     ("population", r"(?i)\b(population\w*|census\w*|demograph\w*|inhabitant\w*|household\s+survey\w*)\b"),
     ("agriculture", r"(?i)\b(crop\w*|agricultur\w*|livestock|farm\w*|irrigat\w*|harvest\w*)\b"),

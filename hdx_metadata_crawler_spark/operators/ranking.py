@@ -80,3 +80,29 @@ def two_phase_rank(
         )
         .drop("_pid", "_rn")
     )
+
+
+def politeness_slot_columns(
+    df: DataFrame, order_cols: list, host_col: str = "host", per_slot: int = 2
+) -> DataFrame:
+    """Per-host politeness slot assignment (reference requests_per_second=2.0,
+    01…ipynb:111): fetch_seq = rank within host, time_slot = fetch_seq
+    bucketed per_slot at a time.  THE slot rule — the page-crawl schedule
+    (politeness_schedule) and the second-tier media-fetch plan
+    (media_fetch_schedule) both assign through here; change the rate in one
+    place.  One host-partitioned window — the skewed hot host is what
+    salting/AQE handles in the real frontier loop (frontier.politeness_slots
+    is the salted production form)."""
+    w = Window.partitionBy(host_col).orderBy(*order_cols)
+    return df.withColumn("fetch_seq", F.row_number().over(w)).withColumn(
+        "time_slot", F.floor((F.col("fetch_seq") - 1) / per_slot).cast("long")
+    )
+
+
+def politeness_slot_sql(order_by: str, host_col: str = "host", per_slot: int = 2) -> str:
+    """DuckDB twin of politeness_slot_columns — the two SELECT fragments."""
+    rn = f"row_number() OVER (PARTITION BY {host_col} ORDER BY {order_by})"
+    return (
+        f"{rn} AS fetch_seq,\n           "
+        f"CAST(floor(({rn} - 1) / {per_slot}) AS BIGINT) AS time_slot"
+    )

@@ -29,18 +29,39 @@ REF_UNIVERSE = 101
 TITLE_LEN = 40
 
 
-def _text_span(txt: Column) -> Column:
+def text_span(txt: Column) -> Column:
+    """One input_hint text span (offset stamped later by stamp_offsets).
+    THE span-struct constructor — the frontier's build_spans and the
+    synthetic analytics corpus both assemble through here, so the crawled
+    shape and the analytics shape cannot drift apart."""
     return F.struct(
         F.lit("text").alias("kind"), txt.alias("text"),
         F.lit("").alias("media_ref"),
     )
 
 
-def _media_span(ref: Column) -> Column:
+def media_span(ref: Column) -> Column:
+    """One input_hint media span (see text_span)."""
     return F.struct(
         F.lit("media").alias("kind"), F.lit("").alias("text"),
         ref.alias("media_ref"),
     )
+
+
+def stamp_offsets(raw: Column) -> Column:
+    """Stamp each span's array position as the int offset field — the final
+    step of input_hint span assembly."""
+    return F.transform(
+        raw,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
 
 
 def media_ref_for(doc_id: Column, j: Column) -> Column:
@@ -68,25 +89,16 @@ def synthesize_spans(documents: DataFrame) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(0), m - 1),
                 lambda j: F.array(
-                    _text_span(F.concat(F.lit("resource r"), j.cast("string"))),
-                    _media_span(media_ref_for(did, j)),
+                    text_span(F.concat(F.lit("resource r"), j.cast("string"))),
+                    media_span(media_ref_for(did, j)),
                 ),
             )
         ),
     ).otherwise(F.array().cast(
         "array<struct<kind:string,text:string,media_ref:string>>"
     ))
-    raw = F.concat(F.array(_text_span(title)), pairs, F.array(_text_span(notes)))
-    spans = F.transform(
-        raw,
-        lambda s, i: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            i.cast("int").alias("offset"),
-        ),
-    )
-    return documents.select("doc_id", spans.alias("spans"))
+    raw = F.concat(F.array(text_span(title)), pairs, F.array(text_span(notes)))
+    return documents.select("doc_id", stamp_offsets(raw).alias("spans"))
 
 
 def _sorted_spans(spans: Column) -> Column:

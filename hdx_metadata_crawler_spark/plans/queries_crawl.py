@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.url import canonicalize_url, url_host
+from ..operators.ranking import politeness_slot_columns, politeness_slot_sql
 from ..sources.tables import load_table
 from .registry import register
 
@@ -106,9 +107,7 @@ def frontier_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT host, doc_id,
-           row_number() OVER (PARTITION BY host ORDER BY doc_id) AS fetch_seq,
-           CAST(floor((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1) / 2)
-                AS BIGINT) AS time_slot
+           {politeness_slot_sql("doc_id")}
     FROM canon
     """,
     doc="Per-host politeness slot assignment at 2 req/s (reference "
@@ -122,15 +121,9 @@ def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = F.when(F.col("doc_id") % 5 < 2, F.lit("hdx.humdata.org")).otherwise(
         F.concat(F.lower(F.col("source")), F.lit(".example.org"))
     )
-    w = Window.partitionBy("host").orderBy("doc_id")
-    return (
-        d.select("doc_id", host.alias("host"))
-        .withColumn("fetch_seq", F.row_number().over(w))
-        .withColumn(
-            "time_slot", F.floor((F.col("fetch_seq") - 1) / 2).cast("long")
-        )
-        .select("host", "doc_id", "fetch_seq", "time_slot")
-    )
+    return politeness_slot_columns(
+        d.select("doc_id", host.alias("host")), order_cols=["doc_id"]
+    ).select("host", "doc_id", "fetch_seq", "time_slot")
 
 
 _CANON_CTE = """

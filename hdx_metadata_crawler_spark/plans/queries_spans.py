@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import spans as sp
+from ..operators.ranking import politeness_slot_columns, politeness_slot_sql
 from ..sources.tables import load_table
 from .registry import register
 
@@ -135,11 +136,7 @@ def span_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM occ GROUP BY rid
     )
     SELECT media_ref, host, first_doc,
-           row_number() OVER (PARTITION BY host
-                              ORDER BY first_doc, media_ref) AS fetch_seq,
-           CAST(floor((row_number() OVER (PARTITION BY host
-                                          ORDER BY first_doc, media_ref) - 1)
-                      / 2) AS BIGINT) AS time_slot
+           {politeness_slot_sql("first_doc, media_ref")}
     FROM refs
     """,
     doc="Second-tier fetch plan: the media-asset dedup catalog "
@@ -151,20 +148,15 @@ def span_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref URL itself (regexp extract, JVM-side).",
 )
 def media_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     cat = sp.media_catalog(sp.synthesize_spans(d)).select(
         "media_ref",
         F.regexp_extract("media_ref", _HOST_RE, 1).alias("host"),
         "first_doc",
     )
-    w = Window.partitionBy("host").orderBy("first_doc", "media_ref")
-    return (
-        cat.withColumn("fetch_seq", F.row_number().over(w))
-        .withColumn("time_slot", F.floor((F.col("fetch_seq") - 1) / 2).cast("long"))
-        .select("media_ref", "host", "first_doc", "fetch_seq", "time_slot")
-    )
+    return politeness_slot_columns(
+        cat, order_cols=["first_doc", "media_ref"]
+    ).select("media_ref", "host", "first_doc", "fetch_seq", "time_slot")
 
 
 # deterministic crawl-arrival time: 2024-01-01 UTC + (doc_id*37 % 5000) min

@@ -238,13 +238,11 @@ def _fetch_batches(iterator):
 
 def build_spans(fetched_ok: DataFrame) -> DataFrame:
     """Interleaved text+media spans, assembled with pure column expressions
-    (input_hint invariant: kind/text/media_ref/offset sequence equality)."""
-    text_span = lambda txt: F.struct(  # noqa: E731
-        F.lit("text").alias("kind"), txt.alias("text"), F.lit("").alias("media_ref")
-    )
-    media_span = lambda url: F.struct(  # noqa: E731
-        F.lit("media").alias("kind"), F.lit("").alias("text"), url.alias("media_ref")
-    )
+    (input_hint invariant: kind/text/media_ref/offset sequence equality).
+    Span structs come from the shared constructors in operators/spans so the
+    crawled shape and the analytics-side synthesized shape cannot drift."""
+    from ..operators.spans import media_span, stamp_offsets, text_span
+
     raw = F.concat(
         F.array(text_span(F.col("title"))),
         F.transform(F.col("tags"), lambda t: text_span(t)),
@@ -256,18 +254,9 @@ def build_spans(fetched_ok: DataFrame) -> DataFrame:
         ),
         F.array(text_span(F.col("notes"))),
     )
-    spans = F.transform(
-        raw,
-        lambda s, i: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            i.cast("int").alias("offset"),
-        ),
-    )
     return fetched_ok.select(
         F.col("dataset_id").alias("doc_id"),
-        spans.alias("spans"),
+        stamp_offsets(raw).alias("spans"),
         F.col("round"),
         F.spark_partition_id().alias("partition_id"),
         F.lit("synthetic_ckan").alias("source"),

@@ -206,6 +206,9 @@ HAZARD_GOLDEN = [
     # negatives (2)
     ("neg-1", "Administrative boundary polygons level 2", None, ()),
     ("neg-2", "Health facility registry with bed capacity", None, ()),
+    # verb-form regression pins (review finding: hail\w* matched "hailed")
+    ("sw-6", "Widely hailed wind speed atlas for coastal stations", "strong_wind", ()),
+    ("neg-3", "Survey methodology hailed by practitioners", None, ()),
 ]
 
 EXPOSURE_GOLDEN = [
@@ -250,6 +253,8 @@ EXPOSURE_GOLDEN = [
     # edge: mixed asset text — buildings wins by bank order (2)
     ("mx-1", "Building damage to roads network assessment", "buildings", ("infrastructure",)),
     ("mx-2", "Population living in informal buildings", "buildings", ("population",)),
+    # bare-footprint regression pin (review finding: carbon footprint)
+    ("neg-e3", "National carbon footprint indicators by sector", None, ()),
 ]
 
 
