@@ -262,7 +262,9 @@ def _exposure_oracle() -> str:
         "categories skipped WITHOUT renumbering (enumerate+continue id "
         "gaps), constraint-validated dimension/quantity with the "
         "category-default fallback when the extractor found no metrics, "
-        "currency field exactly when the quantity kind is monetary, "
+        "currency field exactly when the inferred quantity kind is "
+        "'currency' (emitted even when detection found none — unlike the "
+        "loss block, which omits empty currency), "
         "taxonomy only when the hint is in the closed codelist. Pure "
         "struct/filter/to_json column algebra, one scan, zero shuffle; the "
         "DuckDB oracle builds byte-identical JSON by string concatenation, "
@@ -357,6 +359,16 @@ IMPACT_METRIC_CONSTRAINTS: dict[str, tuple[str, tuple[str, ...]]] = {
     "asset_loss": ("monetary", ("direct", "indirect")),
     "displaced_count": ("count", ("direct", "total")),
 }
+
+# The per-type default quantity is derivable (Group 3 always forces quantity
+# from the metric) — it exists only as documentation of the reference table,
+# so pin the invariant at import: an edit to one table that desynchronizes
+# the other must fail loudly, not silently change nothing.
+for _ft, (_allowed, (_dmet, _dqty)) in FUNCTION_TYPE_CONSTRAINTS.items():
+    assert IMPACT_METRIC_CONSTRAINTS[_dmet][0] == _dqty, (
+        f"{_ft}: default quantity {_dqty!r} contradicts "
+        f"IMPACT_METRIC_CONSTRAINTS[{_dmet!r}] — Group 3 would ignore it"
+    )
 _IMPACT_TYPES = ("direct", "indirect", "total")
 DEFAULT_INTENSITY_BY_HAZARD = {"flood": "wd:m", "earthquake": "PGA:g"}
 HAZARD_PROCESS_PRIMARY = {"flood": "fluvial_flood", "earthquake": "ground_motion"}
@@ -379,32 +391,60 @@ def _validated(raw_col: Column, valid: list[str] | tuple[str, ...], default: str
     return F.when(raw_col.isin(*valid), raw_col).otherwise(F.lit(default))
 
 
-def _fold_metric(ftype: str, m_idx: int) -> tuple[str, str, tuple[str, ...]]:
+def _fold_metric_validated(
+    raw: str, default: str, allowed: tuple[str, ...] | None = None
+) -> tuple[str, str, tuple[str, ...]]:
     """Pure-Python mirror of the metric cascade, used ONLY to fold the
     oracle's expected values (the engine runs the cascade as column algebra
     — a cascade bug diverges from this fold and fails the value hash).
-    Steps: codelist validation w/ per-type default -> Group 1 (allowed for
-    function type) -> Group 3 (quantity forced by metric)."""
-    allowed, (dmet, dqty) = FUNCTION_TYPE_CONSTRAINTS[ftype]
-    m0 = _METRIC_RAW[m_idx]
-    if m0 not in IMPACT_METRICS:
-        m0 = dmet
-    met = m0 if m0 in allowed else dmet
-    qty, atypes = IMPACT_METRIC_CONSTRAINTS[met]
-    return met, qty, atypes
+    Steps: codelist validation w/ default -> optional Group 1 (allowed for
+    function type) -> Group 3 lookup (quantity forced by metric).  THE fold
+    — the vulnerability and loss oracles both fold through here."""
+    m0 = raw if raw in IMPACT_METRICS else default
+    if allowed is not None and m0 not in allowed:
+        m0 = default
+    qty, atypes = IMPACT_METRIC_CONSTRAINTS[m0]
+    return m0, qty, atypes
 
 
-def _fold_impact_type(atypes: tuple[str, ...], it_idx: int) -> str:
-    it = _IMPACT_TYPE_RAW[it_idx]
-    if it not in _IMPACT_TYPES:
-        it = "direct"
+def _fold_metric(ftype: str, m_idx: int) -> tuple[str, str, tuple[str, ...]]:
+    allowed, (dmet, _dqty) = FUNCTION_TYPE_CONSTRAINTS[ftype]
+    return _fold_metric_validated(_METRIC_RAW[m_idx], dmet, allowed)
+
+
+def _fold_itype_validated(raw: str, atypes: tuple[str, ...]) -> str:
+    """Group-3 impact-type coercion fold ('direct' preferred, else
+    lexicographic min) — shared by the vulnerability and loss oracles."""
+    it = raw if raw in _IMPACT_TYPES else "direct"
     if it not in atypes:
         it = "direct" if "direct" in atypes else sorted(atypes)[0]
     return it
 
 
+def _fold_impact_type(atypes: tuple[str, ...], it_idx: int) -> str:
+    return _fold_itype_validated(_IMPACT_TYPE_RAW[it_idx], atypes)
+
+
 def _fold_valid(raw: list[str], valid, default: str) -> list[str]:
     return [v if v in valid else default for v in raw]
+
+
+def _group3_qty_itype(metric: Column, itype0: Column) -> tuple[Column, Column]:
+    """Group 3 (11…ipynb _validate_function_metrics): quantity_kind forced
+    by the validated metric; impact_type coerced into the metric's allowed
+    set ('direct' preferred, else lexicographic min).  THE coercion rule —
+    the vulnerability and loss entry builders both read it from here
+    (engine twin of _fold_metric_validated/_fold_itype_validated)."""
+    qty = None
+    impact_type = None
+    for m, (eq, atypes) in IMPACT_METRIC_CONSTRAINTS.items():
+        fix = "direct" if "direct" in atypes else sorted(atypes)[0]
+        it = F.when(itype0.isin(*atypes), itype0).otherwise(F.lit(fix))
+        bq = (metric == m, F.lit(eq))
+        bi = (metric == m, it)
+        qty = F.when(*bq) if qty is None else qty.when(*bq)
+        impact_type = F.when(*bi) if impact_type is None else impact_type.when(*bi)
+    return qty, impact_type
 
 
 def _case_over(idx_sql: str, values: list[str]) -> str:
@@ -508,17 +548,7 @@ def _vuln_entry_struct(ftype: str, idx: Column) -> Column:
     metric_raw = F.col("_v_metric_raw")
     metric0 = F.when(metric_raw.isin(*IMPACT_METRICS), metric_raw).otherwise(dmet)
     metric = F.when(metric0.isin(*allowed), metric0).otherwise(F.lit(dmet))
-    # Group 3: quantity forced by metric; impact_type coerced into the
-    # metric's allowed set ('direct' preferred, else lexicographic min)
-    qty = None
-    impact_type = None
-    for m, (eq, atypes) in IMPACT_METRIC_CONSTRAINTS.items():
-        fix = "direct" if "direct" in atypes else sorted(atypes)[0]
-        it = F.when(impact_type0.isin(*atypes), impact_type0).otherwise(F.lit(fix))
-        bq = (metric == m, F.lit(eq))
-        bi = (metric == m, it)
-        qty = F.when(*bq) if qty is None else qty.when(*bq)
-        impact_type = F.when(*bi) if impact_type is None else impact_type.when(*bi)
+    qty, impact_type = _group3_qty_itype(metric, impact_type0)
 
     type_specific = []
     if ftype != "vulnerability":
@@ -794,20 +824,12 @@ def _loss_det_sql(e: int) -> str:
 
 
 def _loss_metric_fold(m_idx: int) -> tuple[str, str, tuple[str, ...]]:
-    m0 = _LOSS_METRIC_RAW[m_idx]
-    if m0 not in IMPACT_METRICS:
-        m0 = "asset_loss"  # 11…ipynb:3253 default
-    qty, atypes = IMPACT_METRIC_CONSTRAINTS[m0]
-    return m0, qty, atypes
+    # 11…ipynb:3253 default asset_loss; no Group-1 gate for losses
+    return _fold_metric_validated(_LOSS_METRIC_RAW[m_idx], "asset_loss")
 
 
 def _loss_itype_fold(atypes: tuple[str, ...], it_idx: int) -> str:
-    it = _LOSS_ITYPE_RAW[it_idx]
-    if it not in _IMPACT_TYPES:
-        it = "direct"
-    if it not in atypes:
-        it = "direct" if "direct" in atypes else sorted(atypes)[0]
-    return it
+    return _fold_itype_validated(_LOSS_ITYPE_RAW[it_idx], atypes)
 
 
 def _loss_entry_struct(e: int, idx: Column) -> Column:
@@ -828,15 +850,7 @@ def _loss_entry_struct(e: int, idx: Column) -> Column:
     metric_raw = _pick(_LOSS_METRIC_RAW, ((did / 3).cast("long") + e) % 3)
     metric = F.when(metric_raw.isin(*IMPACT_METRICS), metric_raw).otherwise("asset_loss")
     itype0 = _validated(_pick(_LOSS_ITYPE_RAW, (did + e) % 3), _IMPACT_TYPES, "direct")
-    qty = None
-    itype = None
-    for m, (eq, atypes) in IMPACT_METRIC_CONSTRAINTS.items():
-        fix = "direct" if "direct" in atypes else sorted(atypes)[0]
-        it = F.when(itype0.isin(*atypes), itype0).otherwise(F.lit(fix))
-        bq = (metric == m, F.lit(eq))
-        bi = (metric == m, it)
-        qty = F.when(*bq) if qty is None else qty.when(*bq)
-        itype = F.when(*bi) if itype is None else itype.when(*bi)
+    qty, itype = _group3_qty_itype(metric, itype0)
 
     modelling = _validated(
         _pick(_LOSS_MODEL_RAW, ((did / 2).cast("long") + e) % 3), _LOSS_VALID_MODEL, "observed")
@@ -1518,11 +1532,14 @@ def full_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-stage counts oracle-checked as a funnel.
 # ---------------------------------------------------------------------------
 
-from .queries_text import OVERRIDES, _full_oracle, classify_documents_full  # noqa: E402
+from .queries_text import (  # noqa: E402
+    OVERRIDES,
+    _POLICY_MOD as _POLICY_MOD_FUNNEL,  # THE P5 policy rule — not a copy
+    _full_oracle,
+    classify_documents_full,
+)
 from .queries_integration import _BLOCK_DROP, REQUIRE_HE_FOR_VL  # noqa: E402
 from .queries_extractors import _COMPOSITE_ORACLE_BODY, _composite  # noqa: E402
-
-_POLICY_MOD_FUNNEL = 23  # P5: curated OSM policy exclusion list (doc_id % 23)
 _OVERRIDE_EXCLUDED = tuple(
     doc_id for doc_id, decision, _comp in OVERRIDES if decision == "exclude"
 )
