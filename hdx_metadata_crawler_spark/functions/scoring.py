@@ -61,10 +61,10 @@ def composite_confidence(
     coverage: Column, richness: Column, schema: Column, metadata: Column
 ) -> Column:
     """NB13 composite score: .40·coverage + .25·richness + .20·schema +
-    .15·metadata (13…ipynb:949 compute_composite_confidence)."""
-    return F.round(
-        coverage * 0.40 + richness * 0.25 + schema * 0.20 + metadata * 0.15, 6
-    )
+    .15·metadata (13…ipynb:949 compute_composite_confidence).  Returned
+    UNROUNDED — tiering (tier_of) must see the exact value and display
+    precision is the caller's choice (composite_scoring rounds to 4 dp)."""
+    return coverage * 0.40 + richness * 0.25 + schema * 0.20 + metadata * 0.15
 
 
 def tier_of(score: Column, high: float = 0.8, medium: float = 0.5) -> Column:

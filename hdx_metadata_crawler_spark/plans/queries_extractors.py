@@ -282,24 +282,27 @@ def _rp_list() -> "F.Column":
     )
 
 
+# DuckDB twin of _rp_list — ONE fragment interpolated into both oracles
+# (return_period_events and rdls_record_assembly), completing the Spark-side
+# one-definition invariant above on the SQL side too.
+_RP_TEXT_SQL = (
+    "'flood hazard ' || CAST(user_id * 5 AS VARCHAR)"
+    " || '-year return period, sensor 2021 and '"
+    " || CAST(user_id * 10 AS VARCHAR) || ' year event'"
+)
+_RP_LIST_SQL = f"""list_sort(list_distinct(
+               list_filter(
+                 list_transform(regexp_extract_all({_RP_TEXT_SQL}, '[0-9]+'),
+                                x -> CAST(x AS INTEGER)),
+                 rp -> rp > 0 AND NOT (rp BETWEEN 2000 AND 2099))))"""
+
+
 @register(
     "return_period_events",
-    """
-    WITH texts AS (
-      SELECT event_id,
-             'flood hazard ' || CAST(user_id * 5 AS VARCHAR)
-               || '-year return period, sensor 2021 and '
-               || CAST(user_id * 10 AS VARCHAR) || ' year event' AS rp_text
+    f"""
+    WITH rps AS (
+      SELECT event_id, {_RP_LIST_SQL} AS rp_list
       FROM events WHERE event_id < 2000
-    ),
-    rps AS (
-      SELECT event_id,
-             list_sort(list_distinct(
-               list_filter(
-                 list_transform(regexp_extract_all(rp_text, '[0-9]+'),
-                                x -> CAST(x AS INTEGER)),
-                 rp -> rp > 0 AND NOT (rp BETWEEN 2000 AND 2099)))) AS rp_list
-      FROM texts
     )
     SELECT event_id,
            'event_set_' || CAST(event_id AS VARCHAR) || '_'
@@ -334,17 +337,9 @@ def return_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rdls_record_assembly",
-    """
+    f"""
     WITH rps AS (
-      SELECT event_id,
-             list_sort(list_distinct(
-               list_filter(
-                 list_transform(regexp_extract_all(
-                   'flood hazard ' || CAST(user_id * 5 AS VARCHAR)
-                     || '-year return period, sensor 2021 and '
-                     || CAST(user_id * 10 AS VARCHAR) || ' year event',
-                   '[0-9]+'), x -> CAST(x AS INTEGER)),
-                 rp -> rp > 0 AND NOT (rp BETWEEN 2000 AND 2099)))) AS rp_list
+      SELECT event_id, {_RP_LIST_SQL} AS rp_list
       FROM events WHERE event_id < 1000
     )
     SELECT event_id,
@@ -598,6 +593,32 @@ CATEGORY_DEFAULT_METRICS: dict[str, tuple[str, str]] = {
 }
 
 
+def _category_default_cols(cat: Column) -> tuple[Column, Column]:
+    """(default_dimension, default_quantity) per category with the
+    'content'/'count' else-arm — THE default fold; exposure_metric_inference
+    and triplet_constraint_validation both read it (a change to a category
+    default lands in both queries and both oracles or nowhere)."""
+    dd = qq = None
+    for c, (d, q) in CATEGORY_DEFAULT_METRICS.items():
+        b = cat == c
+        dd = F.when(b, d) if dd is None else dd.when(b, d)
+        qq = F.when(b, q) if qq is None else qq.when(b, q)
+    return dd.otherwise("content"), qq.otherwise("count")
+
+
+def _category_default_sql(cat_sql: str = "category") -> tuple[str, str]:
+    """DuckDB twins of _category_default_cols."""
+    dd = "CASE " + " ".join(
+        f"WHEN {cat_sql} = '{c}' THEN '{d}'"
+        for c, (d, _) in CATEGORY_DEFAULT_METRICS.items()
+    ) + " ELSE 'content' END"
+    qq = "CASE " + " ".join(
+        f"WHEN {cat_sql} = '{c}' THEN '{q}'"
+        for c, (_, q) in CATEGORY_DEFAULT_METRICS.items()
+    ) + " ELSE 'count' END"
+    return dd, qq
+
+
 def _metric_inference_oracle() -> str:
     dim_hits = ", ".join(
         f"regexp_matches(text, '{p}') AS d_{n}" for n, p in DIMENSION_PATTERNS
@@ -612,15 +633,10 @@ def _metric_inference_oracle() -> str:
     first_qty = "CASE " + " ".join(
         f"WHEN q_{n} THEN '{n}'" for n, _ in QUANTITY_PATTERNS
     ) + " END"
-    def_dim = "CASE " + " ".join(
-        f"WHEN category = '{c}' THEN '{d}'" for c, (d, _) in CATEGORY_DEFAULT_METRICS.items()
-    ) + " ELSE 'content' END"
+    def_dim, def_qty = _category_default_sql()
     def_dim_hit = "CASE " + " ".join(
         f"WHEN category = '{c}' THEN d_{d}" for c, (d, _) in CATEGORY_DEFAULT_METRICS.items()
     ) + " ELSE d_content END"
-    def_qty = "CASE " + " ".join(
-        f"WHEN category = '{c}' THEN '{q}'" for c, (_, q) in CATEGORY_DEFAULT_METRICS.items()
-    ) + " ELSE 'count' END"
     cats = ", ".join(
         f"CASE WHEN regexp_matches(text, '{p}') THEN '{c}' END"
         for c, p in TIER_CATEGORIES
@@ -682,19 +698,14 @@ def exposure_metric_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_qty = F.when(*b) if first_qty is None else first_qty.when(*b)
 
     cat = F.col("category")
-    def_dim = None
+    def_dim, def_qty = _category_default_cols(cat)
     def_dim_hit = None
-    def_qty = None
-    for c, (dd, qq) in CATEGORY_DEFAULT_METRICS.items():
+    for c, (dd, _qq) in CATEGORY_DEFAULT_METRICS.items():
         b = cat == c
-        def_dim = F.when(b, dd) if def_dim is None else def_dim.when(b, dd)
         def_dim_hit = (
             F.when(b, dim_hit[dd]) if def_dim_hit is None else def_dim_hit.when(b, dim_hit[dd])
         )
-        def_qty = F.when(b, qq) if def_qty is None else def_qty.when(b, qq)
-    def_dim = def_dim.otherwise("content")
     def_dim_hit = def_dim_hit.otherwise(dim_hit["content"])
-    def_qty = def_qty.otherwise("count")
 
     cats = F.filter(
         F.array(*[
@@ -755,11 +766,9 @@ assert all(
     SELECT i.doc_id, i.category,
            (t.t_category IS NOT NULL) AS constraint_ok,
            CASE WHEN t.t_category IS NOT NULL THEN i.dimension
-                ELSE (CASE {" ".join(f"WHEN i.category = '{c}' THEN '{d}'" for c, (d, _) in CATEGORY_DEFAULT_METRICS.items())}
-                      ELSE 'content' END) END AS dimension_final,
+                ELSE ({_category_default_sql('i.category')[0]}) END AS dimension_final,
            CASE WHEN t.t_category IS NOT NULL THEN i.quantity_kind
-                ELSE (CASE {" ".join(f"WHEN i.category = '{c}' THEN '{q}'" for c, (_, q) in CATEGORY_DEFAULT_METRICS.items())}
-                      ELSE 'count' END) END AS quantity_final
+                ELSE ({_category_default_sql('i.category')[1]}) END AS quantity_final
     FROM inferred i
     LEFT JOIN triplets t
       ON i.category = t.t_category AND i.dimension = t.t_dimension
@@ -786,14 +795,7 @@ def triplet_constraint_validation(spark: SparkSession, sf_dir: str) -> DataFrame
         "left",
     )
     ok = F.col("t_category").isNotNull()
-    def_dim = None
-    def_qty = None
-    for c, (dd, qq) in CATEGORY_DEFAULT_METRICS.items():
-        b = F.col("category") == c
-        def_dim = F.when(b, dd) if def_dim is None else def_dim.when(b, dd)
-        def_qty = F.when(b, qq) if def_qty is None else def_qty.when(b, qq)
-    def_dim = def_dim.otherwise("content")
-    def_qty = def_qty.otherwise("count")
+    def_dim, def_qty = _category_default_cols(F.col("category"))
     return j.select(
         "doc_id",
         "category",
@@ -881,16 +883,16 @@ def currency_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _composite(d: DataFrame) -> DataFrame:
+    from ..functions.scoring import composite_confidence, tier_of
+
     coverage = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
     richness = F.least(F.lit(1.0), F.size(F.split("text", " ")) / F.lit(60.0))
     schema_s = F.when(F.col("lang") == "en", 1.0).otherwise(0.5)
     metadata = F.when(F.col("source").rlike("^src1"), 1.0).otherwise(0.8)
-    composite = coverage * 0.40 + richness * 0.25 + schema_s * 0.20 + metadata * 0.15
-    tier = (
-        F.when(composite >= 0.8, "high")
-        .when(composite >= 0.5, "medium")
-        .otherwise("low")
-    )
+    # THE NB13 formula + tier ladder (functions/scoring.py) — tiering reads
+    # the unrounded score; output rounds to 4 dp for display/oracle parity
+    composite = composite_confidence(coverage, richness, schema_s, metadata)
+    tier = tier_of(composite)
     return d.select(
         "doc_id",
         F.round(coverage, 4).alias("coverage"),
@@ -1210,6 +1212,12 @@ DEFAULT_INTENSITY_MEASURE = {
     "earthquake": "PGA:g",
     "cyclone": "v_ect:km/h",
 }
+def _sql_in(values: tuple[str, ...]) -> str:
+    """Explicit SQL IN-list — str(tuple) renders ('x',) with a trailing
+    comma (a DuckDB syntax error) the moment a codelist shrinks to one."""
+    return "(" + ", ".join("'" + v.replace("'", "''") + "'" for v in values) + ")"
+
+
 _VALID_ANALYSIS = ("probabilistic", "deterministic", "empirical")
 _HAZARDS = ["flood", "earthquake", "cyclone"]
 
@@ -1257,7 +1265,7 @@ def _xref_case(col: str = "doc_id") -> str:
                   WHEN 'earthquake' THEN 'ground_motion'
                   WHEN 'cyclone' THEN 'wind' END) AS hazard_process_primary,
            CASE WHEN hazard_primary IS NULL THEN NULL
-                WHEN from_xref AND x_analysis IN {str(_VALID_ANALYSIS)}
+                WHEN from_xref AND x_analysis IN {_sql_in(_VALID_ANALYSIS)}
                 THEN x_analysis ELSE 'empirical' END AS hazard_analysis_type,
            coalesce(x_im,
              CASE hazard_primary WHEN 'flood' THEN 'fl_wd:m'
@@ -1532,7 +1540,7 @@ def _socio_oracle() -> str:
       SELECT doc_id, unnest(inds) AS i
       FROM built
       WHERE NOT (len(inds) = 1
-                 AND inds[1].indicator_code IN {str(SINGLE_INDICATOR_INSUFFICIENT)})
+                 AND inds[1].indicator_code IN {_sql_in(SINGLE_INDICATOR_INSUFFICIENT)})
     )
     """
 
@@ -1580,10 +1588,14 @@ def socioeconomic_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("text").rlike(GENERIC_SOCIO_PATTERN), generic)
         .otherwise(empty)
     )
+    # try_element_at, not element_at: ~20% of docs have inds = [] and only
+    # And-conjunct short-circuit order protects ANSI element_at from
+    # INVALID_ARRAY_INDEX — an optimizer reorder must degrade to null
+    # (filter keeps the row), not crash the query.
     kept = d.select("doc_id", inds.alias("inds")).filter(
         ~(
             (F.size("inds") == 1)
-            & F.element_at("inds", 1)["indicator_code"].isin(
+            & F.try_element_at("inds", F.lit(1))["indicator_code"].isin(
                 *SINGLE_INDICATOR_INSUFFICIENT
             )
         )

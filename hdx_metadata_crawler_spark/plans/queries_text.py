@@ -382,11 +382,11 @@ def _override_oracle() -> str:
                     CASE WHEN contains(comps1, 'stream') THEN 'stream' END)
                 ELSE comps1 END AS components,
            components_normalized,
-           (final_excluded0 OR (excluded_by_policy AND override_decision = 'keep'))
-             AS final_excluded,
+           ((final_excluded0 AND override_decision <> 'keep')
+             OR excluded_by_policy) AS final_excluded,
            (rdls_candidate AND NOT
-             (final_excluded0 OR (excluded_by_policy AND override_decision = 'keep')))
-             AS final_included
+             ((final_excluded0 AND override_decision <> 'keep')
+               OR excluded_by_policy)) AS final_included
     FROM normed
     """
 
@@ -437,9 +437,14 @@ def review_override_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(comps1.contains("stream"), "stream"),
         ),
     ).otherwise(comps1)
-    # OSM-revert guard (05…ipynb:771): keep-overrides cannot resurrect
-    # policy-excluded ids.
-    final_excluded = final_excluded0 | (excluded_by_policy & (decision == "keep"))
+    # Apply-then-guard (05…ipynb:771): a keep-override CLEARS exclusions,
+    # then the OSM-revert guard re-adds policy exclusions — keep can never
+    # resurrect a policy-excluded id.  With today's two sources the net
+    # truth table equals policy|override (keep and exclude are mutually
+    # exclusive decisions), but the shape is load-bearing: any future
+    # exclusion source joined into final_excluded0 is keep-clearable while
+    # policy stays terminal.
+    final_excluded = (final_excluded0 & (decision != "keep")) | excluded_by_policy
     return j.select(
         "doc_id",
         decision.alias("override_decision"),
