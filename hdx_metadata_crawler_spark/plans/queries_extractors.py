@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.folds import any_of, when_chain
 from ..sources.tables import load_table
 from .registry import register
 
@@ -117,10 +118,7 @@ FAST_MARKERS = ["table", "stream", "join", "window", "vector", "merge"]
 )
 def osm_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    maybe = None
-    for m in FAST_MARKERS:
-        c = F.col("text").contains(m)
-        maybe = c if maybe is None else (maybe | c)
+    maybe = any_of(F.col("text").contains(m) for m in FAST_MARKERS)
     strong = F.col("text").rlike("table") | F.col("text").rlike("stream")
     supporting = sum(
         F.col("text").rlike(p).cast("int") for p in ("join", "window", "vector", "merge")
@@ -184,22 +182,13 @@ _WEAK_SIGNALS = ("general_loss",)
 )
 def loss_signal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    has_excl = None
-    for p in LOSS_EXCLUSION_PATTERNS:
-        c = F.col("text").rlike(p)
-        has_excl = c if has_excl is None else (has_excl | c)
+    has_excl = any_of(F.col("text").rlike(p) for p in LOSS_EXCLUSION_PATTERNS)
     sig = {name: F.col("text").rlike(p) for name, p in LOSS_SIGNAL_PATTERNS}
     kept_flags = {
         name: sig[name] & ~(has_excl & F.lit(name in _WEAK_SIGNALS))
         for name, _ in LOSS_SIGNAL_PATTERNS
     }
-    extract_loss = None
-    for name, _ in LOSS_SIGNAL_PATTERNS:
-        extract_loss = (
-            kept_flags[name]
-            if extract_loss is None
-            else (extract_loss | kept_flags[name])
-        )
+    extract_loss = any_of(kept_flags[name] for name, _ in LOSS_SIGNAL_PATTERNS)
     return d.select(
         "doc_id",
         has_excl.alias("has_exclusion"),
@@ -215,39 +204,55 @@ def loss_signal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # P7 — text sanitization chain (06…ipynb:552-640 sanitize_text)
+# Messy wrapper exercising every chain member: tags, all six entities,
+# curly quotes, en/em dash, ellipsis, NBSP, whitespace runs.
+_SANITIZE_TAIL_A = "</p>&nbsp;&amp; “"
+_SANITIZE_TAIL_B = "” &#39;q&#39; – — … &lt;tag&gt;  end"
+
+
+def _sanitize_oracle() -> str:
+    """DuckDB twin of functions/text.sanitize_text, generated from the SAME
+    constants (entity table, translate src/dst) in the SAME order."""
+    from ..functions.text import _UNICODE_DST, _UNICODE_SRC
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    messy = f"'<p>' || text || '{q(_SANITIZE_TAIL_A)}' || lang || '{q(_SANITIZE_TAIL_B)}'"
+    c = f"regexp_replace({messy}, '<[^>]+>', ' ', 'g')"
+    for a, b in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        c = f"replace({c}, '{q(a)}', '{q(b)}')"
+    c = f"translate({c}, '{q(_UNICODE_SRC)}', '{q(_UNICODE_DST)}')"
+    c = f"replace({c}, '…', '...')"
+    c = f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    return f"SELECT doc_id, {c} AS clean_text FROM documents WHERE doc_id < 100"
 # ---------------------------------------------------------------------------
 
 @register(
     "sanitize_text",
-    """
-    SELECT doc_id,
-           trim(regexp_replace(
-             replace(replace(replace(replace(
-               regexp_replace(
-                 '<p>' || text || '</p> &amp; “' || lang || '”',
-                 '<[^>]+>', '', 'g'),
-               '&amp;', '&'), '&quot;', '"'), '“', '"'), '”', '"'),
-             '\\s+', ' ', 'g')) AS clean_text
-    FROM documents
-    WHERE doc_id < 100
-    """,
+    _sanitize_oracle(),
     doc="Sanitization chain (SURVEY P7, 06…ipynb:552-640 sanitize_text): "
-        "HTML strip, entity decode, curly-quote normalize, whitespace "
-        "collapse — nested regexp_replace/replace, all JVM-side. (The "
-        "cp1252 mojibake repair step is the one pandas-UDF member of the "
-        "chain; exercised in tests/test_functions_text.py.)",
+        "runs THE shared functions/text.sanitize_text helper — HTML strip, "
+        "full entity decode (&nbsp; &amp; &lt; &gt; &quot; &#39;), "
+        "curly-quote/dash translate, ellipsis normalize, whitespace "
+        "collapse — on a messy wrapper that exercises every chain member; "
+        "the oracle mirrors the chain step-for-step, generated from the "
+        "same constants so the two cannot drift.  (The cp1252 mojibake "
+        "repair step is the one pandas-UDF member of the chain; exercised "
+        "in tests/test_functions_text.py.)",
 )
 def sanitize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as _t
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     messy = F.concat(
-        F.lit("<p>"), F.col("text"), F.lit("</p> &amp; “"),
-        F.col("lang"), F.lit("”"),
+        F.lit("<p>"), F.col("text"), F.lit(_SANITIZE_TAIL_A),
+        F.col("lang"), F.lit(_SANITIZE_TAIL_B),
     )
-    clean = F.regexp_replace(messy, "<[^>]+>", "")
-    for src, dst in (("&amp;", "&"), ("&quot;", '"'), ("“", '"'), ("”", '"')):
-        clean = F.replace(clean, F.lit(src), F.lit(dst))
-    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
-    return d.select("doc_id", clean.alias("clean_text"))
+    return d.select("doc_id", _t.sanitize_text(messy).alias("clean_text"))
 
 
 # ---------------------------------------------------------------------------
@@ -498,10 +503,7 @@ def tier_merge_frame(d: DataFrame) -> DataFrame:
     hit = {
         c: (t1f.rlike(p), t2f.rlike(p), t3f.rlike(p)) for c, p in TIER_CATEGORIES
     }
-    any12 = None
-    for c, _ in TIER_CATEGORIES:
-        both = hit[c][0] | hit[c][1]
-        any12 = both if any12 is None else (any12 | both)
+    any12 = any_of(hit[c][0] | hit[c][1] for c, _ in TIER_CATEGORIES)
 
     def branch(c: str):
         t1, t2, t3 = hit[c]
@@ -685,17 +687,9 @@ def exposure_metric_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim_hit = {n: F.col(f"_d_{n}") for n, _ in DIMENSION_PATTERNS}
     qty_hit = {n: F.col(f"_q_{n}") for n, _ in QUANTITY_PATTERNS}
-    any_dim = None
-    for n, _ in DIMENSION_PATTERNS:
-        any_dim = dim_hit[n] if any_dim is None else (any_dim | dim_hit[n])
-    first_dim = None
-    for n, _ in DIMENSION_PATTERNS:
-        b = (dim_hit[n], F.lit(n))
-        first_dim = F.when(*b) if first_dim is None else first_dim.when(*b)
-    first_qty = None
-    for n, _ in QUANTITY_PATTERNS:
-        b = (qty_hit[n], F.lit(n))
-        first_qty = F.when(*b) if first_qty is None else first_qty.when(*b)
+    any_dim = any_of(dim_hit[n] for n, _ in DIMENSION_PATTERNS)
+    first_dim = when_chain((dim_hit[n], F.lit(n)) for n, _ in DIMENSION_PATTERNS)
+    first_qty = when_chain((qty_hit[n], F.lit(n)) for n, _ in QUANTITY_PATTERNS)
 
     cat = F.col("category")
     def_dim, def_qty = _category_default_cols(cat)
@@ -858,10 +852,7 @@ def currency_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("")
     )
     txt = F.concat(F.col("text"), suffix)
-    first_pat = None
-    for p, c in CURRENCY_PATTERNS:
-        b = (txt.rlike(p), F.lit(c))
-        first_pat = F.when(*b) if first_pat is None else first_pat.when(*b)
+    first_pat = when_chain((txt.rlike(p), F.lit(c)) for p, c in CURRENCY_PATTERNS)
     allow = F.array(*[F.lit(c) for c in COMMON_CURRENCIES])
     fallback = F.try_element_at(
         F.filter(
@@ -1315,12 +1306,10 @@ def hazard_context_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = d.join(F.broadcast(xref), d.doc_id == xref.x_doc_id, "left")
 
-    text_inferred = None
-    for hz, pat in HAZARD_TYPE_PATTERNS:  # first match wins, fixed order
-        branch = (F.col("text").rlike(pat), F.lit(hz))
-        text_inferred = (
-            F.when(*branch) if text_inferred is None else text_inferred.when(*branch)
-        )
+    # first match wins, fixed order
+    text_inferred = when_chain(
+        (F.col("text").rlike(pat), F.lit(hz)) for hz, pat in HAZARD_TYPE_PATTERNS
+    )
     hazard_primary = F.coalesce(F.col("x_hazard"), text_inferred)
     from_xref = F.col("x_doc_id").isNotNull()
     proc_default = F.element_at(

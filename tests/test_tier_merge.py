@@ -54,3 +54,58 @@ def test_tier_merge_branches(spark):
         )
     for (doc_id, _), expected in [((c[0][0], None), c[1]) for c in CASES]:
         assert by_doc.get(doc_id, set()) == expected, f"doc {doc_id}"
+
+
+def test_tier_merge_oracle_tier3_branch_parity(spark, tmp_path):
+    """The driver's sf corpora contain ZERO tier3-introduce documents
+    (measured at sf0.01: no doc has a tier-3 hit while tiers 1+2 find
+    nothing document-wide), so the oracle SQL's tier3 branch is dead in
+    every CORRECTNESS gate run.  This fixture corpus fires EVERY branch —
+    tier3-introduce included — and compares the registered oracle SQL
+    against the registered Spark query row-for-row."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    docs = [
+        _doc(1, t3="join"),                      # tier3-INTRODUCE (the dead branch)
+        _doc(2, t3="join window"),               # tier3 introduces two categories
+        _doc(3, t1="table"),                     # tier1 plain
+        _doc(4, t1="table", t3="table"),         # tier3 corroborates tier1
+        _doc(5, t2="stream", t3="stream"),       # tier3 corroborates tier2
+        _doc(6, t1="table", t3="join"),          # tier3 discarded (any12 true)
+        _doc(7),                                 # no hits at all
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = entry.queries()["tier_merge"](spark, str(tmp_path))
+    cols = sorted(out.columns)
+
+    def norm(rows):
+        normed = []
+        for r in rows:
+            vals = []
+            for c in cols:
+                v = r[c]
+                vals.append(round(v, 4) if isinstance(v, float) else v)
+            normed.append(tuple(vals))
+        return sorted(normed)
+
+    spark_rows = norm([row.asDict() for row in out.collect()])
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    orc = con.sql(entry.oracle_sql()["tier_merge"])
+    oracle_rows = norm([dict(zip(orc.columns, row)) for row in orc.fetchall()])
+
+    # the dead branch actually fired: doc 1 must introduce via tier3
+    introduced = [r for r in spark_rows if r[cols.index("doc_id")] == 1]
+    assert introduced, "fixture failed to fire the tier3-introduce branch"
+    assert spark_rows == oracle_rows
