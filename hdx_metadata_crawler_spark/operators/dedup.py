@@ -25,8 +25,14 @@ from ..functions.text import tokenize
 
 
 def shingles(text_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (space-joined), distinct."""
-    toks = tokenize(text_col)
+    """Word n-gram shingles as array<string> (space-joined), distinct.
+
+    NULL text is pinned to '' BEFORE tokenizing: unguarded, Spark's
+    three-valued logic routes NULL through the otherwise-branch to [''],
+    while the DuckDB oracles' array_to_string yields [NULL] — one NULL-text
+    row would silently diverge every sketch oracle.  With the coalesce both
+    engines treat a NULL document exactly like an empty one."""
+    toks = tokenize(F.coalesce(text_col, F.lit("")))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
@@ -188,6 +194,16 @@ def md5_base28(col: Column) -> Column:
 MD5_BASE28_SQL = "('0x' || substr(md5({x}), 1, 7))::BIGINT"
 MD5_HASH60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+# DuckDB cosine over two double-list columns — THE oracle cosine
+# (zero-denominator => 0, round 4 dp, matching operators/similarity.cosine).
+# .format(a=..., b=...) into every cosine oracle; one definition so a change
+# to the convention can never leave one oracle silently divergent.
+COSINE_SQL = (
+    "round(coalesce(list_dot_product({a}, {b})"
+    " / nullif(sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})), 0), 0), 4)"
+)
+
 
 def affine_consts(i: int) -> tuple[int, int]:
     """Deterministic multiplier/offset for seed i: (a*h + b) mod (2^31-1).
@@ -215,10 +231,14 @@ def minhash_lsh_candidates(
     if num_hashes is None:
         first = sig.select(F.size("signature")).first()
         num_hashes = first[0] if first is not None else bands * rows_per_band
-    assert bands * rows_per_band <= num_hashes, (
-        f"bands({bands}) x rows_per_band({rows_per_band}) exceeds the "
-        f"signature length ({num_hashes})"
-    )
+    if bands * rows_per_band > num_hashes:
+        # ValueError, not assert: python -O strips asserts, and this is the
+        # guard the docstring promises — silent out-of-range banding turns
+        # the bucket join all-pairs.
+        raise ValueError(
+            f"bands({bands}) x rows_per_band({rows_per_band}) exceeds the "
+            f"signature length ({num_hashes})"
+        )
     if bucket_hash_fn is None:
         bucket_hash_fn = F.xxhash64
     banded = sig.select(

@@ -217,14 +217,20 @@ def cosine_pairs_block(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
             )
-        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a["_vec"]])
+        # normalize BEFORE aliasing the same-block side: rebinding ma after
+        # `mb = ma` left mb pointing at the raw matrix, so within-block sims
+        # were cos * ||b_row|| for non-unit inputs (caught in round-3 review;
+        # pinned by test_blocked_pairs_match_bruteforce_nonunit_norms)
+        ma = _safe_normalize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in a["_vec"]])
+        )
         mb = (
             ma
             if b is a
-            else np.stack([np.asarray(v, dtype=np.float64) for v in b["_vec"]])
+            else _safe_normalize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in b["_vec"]])
+            )
         )
-        ma = _safe_normalize(ma)
-        mb = mb if b is a else _safe_normalize(mb)
         sims = ma @ mb.T
         ids_a = a["_id"].to_numpy(dtype=np.int64)
         ids_b = b["_id"].to_numpy(dtype=np.int64)
@@ -349,7 +355,11 @@ def kmeans_centroids(
     centroids = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]
     )
-    base = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    # persist: each Lloyd iteration is a SEPARATE action, so without it
+    # every pass re-reads the corpus and redoes the float64 cast — iters+1
+    # full source scans where one suffices.  (ReusedExchange cannot share
+    # scans ACROSS jobs; that argument only applies within one action.)
+    base = corpus.select(as_double(F.col(vec_col)).alias("v")).persist()
     part_schema = StructType(
         [
             StructField("cell", LongType()),
@@ -389,6 +399,7 @@ def kmeans_centroids(
         for c, (n, s) in totals.items():
             new[c] = s / n
         centroids = new
+    base.unpersist()
     return centroids
 
 

@@ -36,7 +36,7 @@ WITH idx AS (
                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
            ELSE [array_to_string(toks, ' ')] END AS shingles
     FROM (SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                              t -> t <> '') AS toks
           FROM documents)
   )
@@ -77,7 +77,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
              ELSE [array_to_string(toks, ' ')] END AS shingles
       FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                                t -> t <> '') AS toks
             FROM documents)
     ),
@@ -139,22 +139,17 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_estimate(sig, pairs)
 
 
-_COSINE_NEARDUP_ORACLE = """
-WITH v AS (SELECT vec_id, embedding FROM embeddings),
-     idx AS (SELECT unnest(range(1, 65)) AS i),
-     d AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           FROM v CROSS JOIN idx),
-     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM d GROUP BY vec_id),
-     dots AS (
-       SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
-       FROM d a JOIN d b ON a.i = b.i AND a.vec_id < b.vec_id
-       GROUP BY a.vec_id, b.vec_id)
-SELECT id_a, id_b,
-       round(coalesce(dp / nullif(na.nrm * nb.nrm, 0), 0), 4) AS cos_sim
-FROM dots
-JOIN norms na ON dots.id_a = na.vec_id
-JOIN norms nb ON dots.id_b = nb.vec_id
-WHERE round(coalesce(dp / nullif(na.nrm * nb.nrm, 0), 0), 4) >= 0.40
+# list_dot_product form, same shape as every other cosine oracle (the
+# round-3 review retired this file's unnest/self-join variant: ~3x the SQL
+# and N^2/2 x 64 intermediate rows for the identical result).
+_COSINE_NEARDUP_ORACLE = f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {dedup.COSINE_SQL.format(a="a.ve", b="b.ve")} AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {dedup.COSINE_SQL.format(a="a.ve", b="b.ve")} >= 0.40
 """
 
 
@@ -175,13 +170,10 @@ def cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_lsh_oracle(threshold: float = 0.40) -> str:
+    from ..operators.dedup import COSINE_SQL
     from .queries_similarity import _lsh_sketch_ctes
 
-    cos = (
-        "round(coalesce(list_dot_product(va, vb) "
-        "/ nullif(sqrt(list_dot_product(va, va)) "
-        "* sqrt(list_dot_product(vb, vb)), 0), 0), 4)"
-    )
+    cos = COSINE_SQL.format(a="va", b="vb")
     return f"""
     WITH {_lsh_sketch_ctes()},
     cand AS (
@@ -228,7 +220,7 @@ def _simhash_oracle_cte() -> str:
     toks AS (
       SELECT doc_id,
              list_distinct(list_filter(
-               string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+               string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t <> ''))
                AS toks
       FROM documents),
     hashes AS (

@@ -6,27 +6,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity
-from ..operators.dedup import MD5_HASH60_SQL
+from ..operators.dedup import COSINE_SQL, MD5_HASH60_SQL
 from ..sources.tables import load_table
 from .registry import register
 
-_KNN_ORACLE = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-     idx AS (SELECT unnest(range(1, 65)) AS i),
-     qd AS (SELECT query_id, i, CAST(qv[i] AS DOUBLE) AS x FROM q CROSS JOIN idx),
-     cd AS (SELECT neighbor_id, i, CAST(cv[i] AS DOUBLE) AS x FROM c CROSS JOIN idx),
-     dots AS (SELECT query_id, neighbor_id, sum(qd.x * cd.x) AS d
-              FROM qd JOIN cd ON qd.i = cd.i
-              WHERE query_id <> neighbor_id
-              GROUP BY query_id, neighbor_id),
-     norms AS (SELECT query_id AS id, sqrt(sum(x * x)) AS nrm FROM qd GROUP BY query_id),
-     cnorms AS (SELECT neighbor_id AS id, sqrt(sum(x * x)) AS nrm FROM cd GROUP BY neighbor_id),
+# list_dot_product form, same shape as every other cosine oracle (round-3
+# review retired the unnest/self-join variant).
+_KNN_ORACLE = f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
      scored AS (
-       SELECT query_id, neighbor_id,
-              round(coalesce(d / nullif(qn.nrm * cn.nrm, 0), 0), 4) AS cos_sim
-       FROM dots JOIN norms qn ON dots.query_id = qn.id
-                 JOIN cnorms cn ON dots.neighbor_id = cn.id)
+       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              {COSINE_SQL.format(a="q.ve", b="c.ve")} AS cos_sim
+       FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       WHERE q.vec_id < 10)
 SELECT query_id, neighbor_id, cos_sim, rank
 FROM (SELECT query_id, neighbor_id, cos_sim,
              row_number() OVER (PARTITION BY query_id
@@ -103,10 +97,7 @@ def _lsh_oracle(dim: int = 64, n_tables: int = 12, r: int = 3, k: int = 3) -> st
     ),
     scored AS (
       SELECT query_id, neighbor_id,
-             round(coalesce(
-               list_dot_product(qv, cv)
-               / nullif(sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(cv, cv)), 0), 0), 4) AS cos_sim
+             {COSINE_SQL.format(a="qv", b="cv")} AS cos_sim
       FROM cand
     )
     SELECT query_id, neighbor_id, cos_sim, rank
@@ -223,13 +214,9 @@ def _ivf_oracle(
       FROM qprobe q JOIN casg c USING (cell)
       WHERE q.query_id <> c.vec_id
     )""",
-        """scored AS (
+        f"""scored AS (
       SELECT query_id, neighbor_id,
-             round(coalesce(
-               list_dot_product(qv.ve, cv.ve)
-               / nullif(sqrt(list_dot_product(qv.ve, qv.ve))
-                        * sqrt(list_dot_product(cv.ve, cv.ve)), 0), 0), 4)
-               AS cos_sim
+             {COSINE_SQL.format(a="qv.ve", b="cv.ve")} AS cos_sim
       FROM cand
       JOIN vecs qv ON cand.query_id = qv.vec_id
       JOIN vecs cv ON cand.neighbor_id = cv.vec_id

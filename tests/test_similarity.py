@@ -160,3 +160,40 @@ def test_neardup_lsh_subset_and_recall(spark):
         assert v == exact[k], f"cos_sim mismatch on {k}"
     recall = len(approx) / len(exact) if exact else 1.0
     assert recall >= 0.8, f"pair recall={recall}"
+
+
+def test_blocked_pairs_match_bruteforce_nonunit_norms(spark):
+    """Round-3 review regression: the same-block (gi==gj) side of
+    cosine_pairs_block was aliased BEFORE normalization, so within-block
+    similarities were cos * ||b_row|| whenever embeddings are not unit-norm
+    (the parquet fixtures are unit-norm, which masked it).  Scale each
+    vector by a distinct factor and require exact brute-force parity."""
+    import itertools
+
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet").filter(
+        F.col("vec_id") < 120
+    ).select("vec_id", "embedding").collect()
+    scaled = [
+        (int(r["vec_id"]),
+         [float(x) * (0.25 + (r["vec_id"] % 7)) for x in r["embedding"]])
+        for r in rows
+    ]
+    e = spark.createDataFrame(scaled, ["vec_id", "embedding"])
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.cosine_pairs_block(e, threshold=0.40, n_blocks=5).collect()
+    }
+
+    ids = np.array([i for i, _ in scaled], dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in scaled])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 4)
+    expected = {}
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        if sims[i, j] >= 0.40:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            expected[(a, b)] = sims[i, j]
+    assert got == expected
