@@ -54,7 +54,11 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         kind.alias("media_kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        # NULL text is pinned to b'' (same convention as operators/dedup
+        # shingles): unguarded, a NULL payload reaches extract_features'
+        # numpy pass and len(None) crashes the whole job instead of
+        # producing an empty-media row.
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
         (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
         (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
     )
@@ -124,11 +128,19 @@ def frame_sample(media: DataFrame, stride: int = 16) -> DataFrame:
     (sequence + explode) so Catalyst handles it; a real frame decoder would
     consume (payload, frame_offset) pairs in a downstream mapInPandas."""
     video = media.filter(F.col("media_kind") == "video")
+    # long, not int: F.length/F.sequence return int32, but the oracle (and
+    # sibling media_features) emit BIGINT — and at the multi-GB payloads
+    # this module documents, int32 n_bytes would overflow.  A long-typed
+    # sequence makes the exploded frame_offset long without a post-cast
+    # (explode cannot be nested in a cast expression).
+    n_bytes = F.length("payload").cast("long")
     offsets = F.sequence(
-        F.lit(0), F.greatest(F.length("payload") - 1, F.lit(0)), F.lit(stride)
+        F.lit(0).cast("long"),
+        F.greatest(n_bytes - 1, F.lit(0).cast("long")),
+        F.lit(stride).cast("long"),
     )
     return video.select(
         "doc_id",
-        F.length("payload").alias("n_bytes"),
+        n_bytes.alias("n_bytes"),
         F.explode(offsets).alias("frame_offset"),
     )

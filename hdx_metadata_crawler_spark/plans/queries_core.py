@@ -83,8 +83,11 @@ def org_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("n_customers"),
+            # when/otherwise(0), not bare cast: sum over an all-NULL segment
+            # is NULL Spark-side but the oracle's CASE ... ELSE 0 counts 0
             F.round(
-                F.sum((F.col("c_acctbal") > 0).cast("int")) / F.count("*"), 4
+                F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0))
+                / F.count("*"), 4
             ).alias("positive_rate"),
             F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
@@ -99,7 +102,7 @@ def org_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            count(*)                                              AS n_events,
-           round(sum(value), 2)                                  AS sum_value,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0       AS sum_value,
            (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 200
               + count(*)) // (2 * count(*)) / 10000.0            AS avg_value
     FROM events
@@ -121,7 +124,12 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*")
     x = s * 200 + n  # half-up: (s*200 + n) div (2n), all exact longs
     d = n * 2
-    avg_units = (x - F.pmod(x, d)) / d  # exact integer-valued double
+    # plain % (sign-of-dividend, Java/DuckDB truncation), NOT pmod: pmod
+    # floors, DuckDB's // truncates, and the two diverge on NEGATIVE sums
+    # (x=-26598, d=4: floor -6650 vs truncate -6649 — a latent value-hash
+    # mismatch the shipped non-negative data never hits).  (x - x % d) / d
+    # is exact truncating long division in BOTH engines.
+    avg_units = (x - x % d) / d  # exact integer-valued double
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -129,7 +137,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             n.alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact centi-unit sum / 100, same integer-space trick as avg:
+            # round(sum(double), 2) hits exact .xx5 halves on negative sums
+            # and the engines round them in opposite directions
+            (s / F.lit(100.0)).alias("sum_value"),
             (avg_units / F.lit(10000.0)).alias("avg_value"),
         )
     )
@@ -139,8 +150,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_extract",
     """
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
-           count(*)                                    AS cnt,
-           round(sum(value), 2)                        AS sum_value
+           count(*)                                         AS cnt,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0  AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -156,7 +167,13 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
         )
         .groupBy("k")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # exact centi-unit sum (see events_hourly): negative exact-half
+            # sums round in opposite directions across engines
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0))
+            .alias("sum_value"),
+        )
     )
 
 

@@ -16,20 +16,26 @@ from .registry import register
 @register(
     "media_features",
     """
+    WITH t0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,
            CAST(len(text) AS BIGINT)  AS n_bytes,
            ascii(substr(text, 1, 1))  AS head_byte,
-           CAST((SELECT sum(ascii(substr(text, CAST(i AS INT), 1)))
-                 FROM unnest(range(1, len(text) + 1)) AS t(i)) % 1000
-                AS BIGINT)            AS byte_sum_mod,
+           -- len=0 guard: sum over an empty unnest is NULL in SQL, but the
+           -- engine's numpy sum over b'' is 0 — pin the empty-payload
+           -- checksum to 0 on both sides
+           CASE WHEN len(text) = 0 THEN 0
+                ELSE CAST((SELECT sum(ascii(substr(text, CAST(i AS INT), 1)))
+                           FROM unnest(range(1, len(text) + 1)) AS t(i)) % 1000
+                     AS BIGINT)
+           END                        AS byte_sum_mod,
            CASE WHEN len(text) = 0 THEN 0
                 ELSE CAST(floor((SELECT avg(ascii(substr(text,
                             CAST(i % len(text) + 1 AS INT), 1)))
                      FROM unnest(range(0, 48)) AS t(i))) AS INT)
            END                        AS mean_pixel
-    FROM documents
+    FROM t0
     """,
     doc="Binary-payload feature extraction via Arrow-batched mapInPandas "
         "(engine-new multimodal surface): size, head byte, checksum, and the "
@@ -49,10 +55,11 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame_offsets",
     """
     SELECT doc_id,
-           CAST(len(text) AS BIGINT) AS n_bytes,
+           CAST(len(coalesce(text, '')) AS BIGINT) AS n_bytes,
            CAST(frame_offset AS BIGINT) AS frame_offset
     FROM documents,
-         unnest(range(0, greatest(len(text) - 1, 0) + 1, 16)) AS t(frame_offset)
+         unnest(range(0, greatest(len(coalesce(text, '')) - 1, 0) + 1, 16))
+           AS t(frame_offset)
     WHERE doc_id % 3 = 2
     """,
     doc="Video frame sampling: one row per stride-16 byte offset "

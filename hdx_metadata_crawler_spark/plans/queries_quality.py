@@ -249,9 +249,10 @@ def hevl_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("r.risk_data_type").alias("declared_component_count"),
         F.size("r.event_sets").alias("hazard_event_sets"),
         F.size(events0).alias("hazard_events_count"),
-        F.exists(events0, lambda e: e["return_period"].isNotNull()).alias(
-            "hazard_has_return_periods"
-        ),
+        # size > 0, structurally identical to the oracle's
+        # json_array_length(events) > 0 — an exists() over return_period
+        # would silently diverge if assembly ever emitted a NULL rp
+        (F.size(events0) > 0).alias("hazard_has_return_periods"),
     )
 
 

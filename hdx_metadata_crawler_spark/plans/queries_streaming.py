@@ -11,7 +11,7 @@ approximate distinct sketches for frontier-scale metrics.
 
 from __future__ import annotations
 
-import time
+from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,13 +20,19 @@ from ..sources.tables import load_table
 from .registry import register
 
 
+_DRAIN_SEQ = count()
+
+
 def drain_stream_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
     """Run a streaming DataFrame to completion under the availableNow
     trigger into a uniquely-named memory sink and return the drained table.
     The one fiddly piece of streaming-query boilerplate (append mode +
     availableNow + unique queryName so repeated runs in one session never
-    collide), shared by every streaming registry query."""
-    table = f"{prefix}_{int(time.time() * 1000) % 10**9}"
+    collide), shared by every streaming registry query.  Names come from a
+    monotonic counter, not wall-clock millis: two same-prefix drains in one
+    millisecond (parallel funnel branches, clock steps) would collide on
+    an active query name."""
+    table = f"{prefix}_{next(_DRAIN_SEQ)}"
     q = (
         df.writeStream.format("memory")
         .queryName(table)
@@ -35,7 +41,12 @@ def drain_stream_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> D
         .start()
     )
     q.awaitTermination()
-    return spark.table(table)
+    out = spark.table(table).localCheckpoint(eager=True)
+    # the memory sink's temp view (and its buffered rows) are no longer
+    # needed once checkpointed — drop so repeated bench/test loops don't
+    # accumulate session state
+    spark.catalog.dropTempView(table)
+    return out
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -58,7 +69,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events
     WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
           <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
@@ -81,7 +92,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("sum_value"))
     )
     return drain_stream_to_memory(spark, stream, "stream_hourly").select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -111,7 +122,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -125,7 +136,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("sum_value"))
         .select(
             "user_id",
             F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
