@@ -273,10 +273,14 @@ def bloom_anti_join(
     flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col))).persist()
     _PERSISTED.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    # no .distinct() on the seen side: a left_anti join is insensitive to
+    # right-side duplicates, and the distinct was a full hash-aggregate
+    # shuffle over the ENTIRE seen set EVERY round — O(|seen|), the exact
+    # cost the bloom exists to avoid at the 10^10-key design point.
     rescue = (
         flagged.filter(F.col("_maybe_seen"))
         .drop("_maybe_seen")
-        .join(seen.select(hash_col).distinct(), hash_col, "left_anti")
+        .join(seen.select(hash_col), hash_col, "left_anti")
     )
     return definitely_new.unionByName(rescue)
 

@@ -280,10 +280,12 @@ def cuckoo_anti_join(
 
     flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col))).persist()
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    # no .distinct(): left_anti is insensitive to right-side duplicates
+    # (see bloom.bloom_anti_join — same O(|seen|)-shuffle-per-round saving)
     rescue = (
         flagged.filter(F.col("_maybe_seen"))
         .drop("_maybe_seen")
-        .join(seen.select(hash_col).distinct(), hash_col, "left_anti")
+        .join(seen.select(hash_col), hash_col, "left_anti")
     )
     out = definitely_new.unionByName(rescue)
     _PERSISTED.append(flagged)

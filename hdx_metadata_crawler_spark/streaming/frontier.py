@@ -147,7 +147,6 @@ def politeness_slots(
     page: DataFrame,
     rps: float,
     n_salts: int,
-    host_rps: dict[str, float] | None = None,
     rps_col: Column | None = None,
 ) -> DataFrame:
     """Two-phase salted politeness schedule — skew-free slot assignment.
@@ -169,22 +168,15 @@ def politeness_slots(
     exactly, while the sort parallelism is n_salts per host instead of 1.
 
     Per-host budgets (robots Crawl-delay overrides, streaming/robots.py)
-    come in either as ``rps_col`` — a per-row rps column already joined onto
-    the page from the broadcast robots dim (the round loop's form; zero
-    driver state) — or as the legacy ``host_rps`` literal-map dict.  Either
-    way the budget folds into the slot expression at no extra cost.
+    come in as ``rps_col`` — a per-row rps column already joined onto the
+    page from the broadcast robots dim (the round loop's form; zero driver
+    state).  The budget folds into the slot expression at no extra cost.
+    (A legacy literal-map dict parameter was removed in round 3: no caller
+    used it, and dead parity surface is drift risk.)
     """
     salt = F.pmod(F.crc32(F.encode("canon_url", "utf-8")), F.lit(n_salts)).cast("int")
     if rps_col is None:
-        if host_rps:
-            pairs: list = []
-            for h, r in sorted(host_rps.items()):
-                pairs += [F.lit(h), F.lit(float(r))]
-            rps_col = F.coalesce(
-                F.element_at(F.create_map(*pairs), F.col("host")), F.lit(float(rps))
-            )
-        else:
-            rps_col = F.lit(float(rps))
+        rps_col = F.lit(float(rps))
     w = Window.partitionBy("host", "salt").orderBy("priority", "canon_url")
     return (
         page.withColumn("salt", salt)
@@ -274,7 +266,10 @@ class CrawlEngine:
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.ckpt_dir, f"round_{rnd:04d}")
 
-    _ROUND_DIR_RE = re.compile(r"^round_(\d{4})$")
+    # \d{4,}: the writer's {rnd:04d} widens past 4 digits at round 10000,
+    # and a fixed-width match would make every later round invisible to
+    # resume (silent re-run from stale state after a crash)
+    _ROUND_DIR_RE = re.compile(r"^round_(\d{4,})$")
 
     def latest_committed_round(self) -> int | None:
         if not os.path.isdir(self.ckpt_dir):
@@ -370,53 +365,32 @@ class CrawlEngine:
     # ------------------------------------------------------------------- run
     def seed_state(self, seed_urls: list[str]) -> dict[str, DataFrame]:
         spark = self.spark
-        seeds = spark.createDataFrame(
-            [(u.strip(),) for u in seed_urls], "canon_url string"
-        ).select(
-            "canon_url",
-            url_hash(F.col("canon_url")).alias("url_hash"),
-            F.regexp_extract("canon_url", r"^https?://([^/]+)", 1).alias("host"),
-            F.lit(0).alias("priority"),
-            F.lit(0).alias("depth"),
-            F.lit(0).alias("attempt"),
+        seeds = (
+            spark.createDataFrame(
+                [(u.strip(),) for u in seed_urls], "canon_url string"
+            )
+            .select(
+                "canon_url",
+                url_hash(F.col("canon_url")).alias("url_hash"),
+                F.regexp_extract("canon_url", r"^https?://([^/]+)", 1).alias("host"),
+                F.lit(0).alias("priority"),
+                F.lit(0).alias("depth"),
+                F.lit(0).alias("attempt"),
+            )
+            # the simulator's frontier is a dict keyed on the canonical URL,
+            # so a duplicated seed fetches once — without this dedup the
+            # engine pages BOTH copies (bloom_anti_join preserves dups),
+            # double-fetching the URL and double-spending its host budget
+            .dropDuplicates(["url_hash"])
         )
+        # empty state frames come from the ONE schema table _read_state uses
+        # on resume — fresh-run and resumed-run state cannot drift
         empty = {
             "frontier": seeds,
-            "seen": spark.createDataFrame([], "url_hash long, canon_url string"),
             "blooms": spark.createDataFrame([], _MUTABLE_SCHEMAS["blooms"]),
-            "manifest": spark.createDataFrame(
-                [],
-                "round int, rank int, canon_url string, dataset_id string, "
-                "title string, host string, time_slot long, attempt int",
-            ),
-            "errors": spark.createDataFrame(
-                [], "round int, canon_url string, dataset_id string, error string"
-            ),
-            "documents": spark.createDataFrame(
-                [],
-                StructType(
-                    [
-                        StructField("doc_id", StringType()),
-                        StructField(
-                            "spans",
-                            ArrayType(
-                                StructType(
-                                    [
-                                        StructField("kind", StringType()),
-                                        StructField("text", StringType()),
-                                        StructField("media_ref", StringType()),
-                                        StructField("offset", IntegerType()),
-                                    ]
-                                )
-                            ),
-                        ),
-                        StructField("round", IntegerType()),
-                        StructField("partition_id", IntegerType()),
-                        StructField("source", StringType()),
-                    ]
-                ),
-            ),
         }
+        for name, ddl in _APPEND_SCHEMAS.items():
+            empty[name] = spark.createDataFrame([], ddl)
         return empty
 
     def run(self, seed_urls: list[str] | None = None, resume: bool = False) -> dict:
@@ -600,17 +574,28 @@ class CrawlEngine:
                 "canon_url", "url_hash", "host", "priority", "depth",
                 (F.col("attempt") + 1).alias("attempt"),
             )
+            # min-depth aggregation, NOT dropDuplicates: when one URL is
+            # discovered by parents at different depths in the same round,
+            # dropDuplicates keeps an arbitrary task's row (crawl order then
+            # varies run-to-run), while the simulator keeps the first
+            # parent in manifest rank order — which is exactly the min-depth
+            # parent (rank leads with priority = depth).  min() is the
+            # deterministic engine equivalent.
             discovered = (
                 ok.select(F.explode("discovered").alias("raw_url"), "depth")
                 .select(
                     F.trim("raw_url").alias("canon_url"),
                     url_hash(F.trim("raw_url")).alias("url_hash"),
                     F.regexp_extract(F.trim("raw_url"), r"^https?://([^/]+)", 1).alias("host"),
-                    (F.col("depth") + 1).alias("priority"),
                     (F.col("depth") + 1).alias("depth"),
+                )
+                .groupBy("url_hash", "canon_url", "host")
+                .agg(F.min("depth").alias("depth"))
+                .select(
+                    "canon_url", "url_hash", "host",
+                    F.col("depth").alias("priority"), "depth",
                     F.lit(0).alias("attempt"),
                 )
-                .dropDuplicates(["url_hash"])
                 .join(frontier.select("url_hash"), "url_hash", "left_anti")
                 .join(seen.select("url_hash"), "url_hash", "left_anti")
             )

@@ -61,7 +61,11 @@ def _first_seen_fn(
                         "value": row.value,
                     }
                 )
-    state.update((sorted(seen),))
+    # sort on a NULL-proof key: a NULL event_type arrives as None, and
+    # sorted({None, 'click'}) raises TypeError INSIDE the state function,
+    # failing the whole streaming query (the state just needs a canonical
+    # order, not a semantic one)
+    state.update((sorted(seen, key=lambda t: (t is None, t)),))
     yield pd.DataFrame(
         out,
         columns=["user_id", "event_type", "event_id", "ts", "value"],
@@ -94,8 +98,12 @@ def _media_first_seen_fn(
         out.append(
             {
                 "media_ref": key[0],
-                "first_doc": int(first.doc_id),
-                "first_epoch": int(first.ts_epoch),
+                # pd.isna guard: int(None/NaN) raises inside the state fn,
+                # failing the whole query on one malformed occurrence row
+                "first_doc": int(first.doc_id) if pd.notna(first.doc_id) else -1,
+                "first_epoch": (
+                    int(first.ts_epoch) if pd.notna(first.ts_epoch) else -1
+                ),
             }
         )
         state.update((True,))

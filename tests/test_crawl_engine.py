@@ -412,3 +412,30 @@ def test_resumed_run_reports_all_round_metrics(spark, tmp_path):
     rounds = [m["round"] for m in out["metrics"]]
     assert rounds[0] == 0 and rounds == sorted(rounds)
     assert len(rounds) == out["final_round"] + 1
+
+
+def test_duplicate_seeds_fetch_once(spark, tmp_path):
+    """Round-3 review regression: the simulator's frontier is a dict keyed
+    on the canonical URL, so a duplicated seed fetches ONCE — the engine
+    must dedup seeds the same way (it used to page both copies, double-
+    fetching and double-spending the host budget)."""
+    seeds = synthetic.seed_urls(20)
+    dup_seeds = seeds + seeds[:7] + [seeds[0]]
+
+    sim = simulator.run_crawl(
+        dup_seeds, page_size=CFG.page_size, rps=CFG.rps,
+        max_retries=CFG.max_retries,
+    )
+    engine = CrawlEngine(spark, str(tmp_path / "ckpt"), CFG)
+    out = engine.run(seed_urls=dup_seeds)
+
+    manifest = _spark_manifest_ordered(out["state"])
+    sim_manifest = [
+        (m["round"], m["canon_url"], m["dataset_id"], m["title"], m["host"],
+         m["time_slot"], m["attempt"])
+        for m in sim.manifest
+    ]
+    assert manifest == sim_manifest
+    # every canon_url fetched at most once overall
+    urls = [m[1] for m in manifest]
+    assert len(urls) == len(set(urls))
