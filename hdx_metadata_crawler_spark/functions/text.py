@@ -23,20 +23,34 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 # Unicode punctuation the reference maps to ASCII (06…ipynb:552 sanitize_text):
-# curly quotes, en/em dashes, ellipsis, non-breaking space.
+# curly quotes, en/em dashes, non-breaking space.  SRC and DST are PAIRED BY
+# POSITION and must stay the same length: round 3 found DST one char long
+# (an extra '-'), which silently sent NBSP to '-' instead of ' ', fusing
+# words in scraped HTML ('flood\xa0risk' -> 'flood-risk') and corrupting
+# every downstream tokenize / dedup-key / \b-pattern match.
 _UNICODE_SRC = "‘’“”–— "
-_UNICODE_DST = "''\"\"--- "
+_UNICODE_DST = "''\"\"-- "
+assert len(_UNICODE_SRC) == len(_UNICODE_DST)
+
+# HTML entity decode table, IN ORDER.  '&amp;' must decode LAST: decoding it
+# first double-unescapes escaped entities ('a &amp;lt; b' — which renders as
+# 'a &lt; b' — would become 'a < b', one decode too many).  The DuckDB
+# sanitize oracle is generated from this same table (queries_extractors).
+ENTITY_TABLE: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
 
 
 def sanitize_text(col: Column) -> Column:
     """HTML-strip + entity-decode + punctuation-normalize + whitespace-collapse."""
     c = F.regexp_replace(col, r"<[^>]+>", " ")  # strip tags
-    c = F.regexp_replace(c, r"&nbsp;", " ")
-    c = F.regexp_replace(c, r"&amp;", "&")
-    c = F.regexp_replace(c, r"&lt;", "<")
-    c = F.regexp_replace(c, r"&gt;", ">")
-    c = F.regexp_replace(c, r"&quot;", '"')
-    c = F.regexp_replace(c, r"&#39;", "'")
+    for entity, char in ENTITY_TABLE:
+        c = F.replace(c, F.lit(entity), F.lit(char))
     c = F.translate(c, _UNICODE_SRC, _UNICODE_DST)
     c = F.regexp_replace(c, r"…", "...")
     c = F.regexp_replace(c, r"\s+", " ")
@@ -73,20 +87,27 @@ def tokenize(col: Column) -> Column:
 def fix_mojibake(s: pd.Series) -> pd.Series:
     """cp1252->utf8 repair (06…ipynb:552 sanitize_text step 1), vectorized.
 
-    Only rows whose text contains a mojibake marker (e.g. 'Ã', 'â€') should be
-    routed here; everything else stays JVM-side.
+    The marker gate lives INSIDE the UDF (a vectorized str.contains), not in
+    a surrounding F.when: Spark hoists Python UDFs out of conditionals and
+    runs them on every row regardless (the same silent no-op gate url.py's
+    module docstring documents for round 1's URL UDF), so the in-Python
+    prefilter is the only gate that actually skips the per-row
+    encode/decode attempts.  Rows still pay the Arrow round-trip — callers
+    on genuinely hot paths should DataFrame-filter/union instead.
     """
+    mask = s.notna() & s.str.contains(MOJIBAKE_MARKER, regex=True, na=False)
+    if not mask.any():
+        return s
 
     def _fix(x):
-        if x is None:
-            return None
         try:
-            repaired = x.encode("cp1252").decode("utf-8")
+            return x.encode("cp1252").decode("utf-8")
         except (UnicodeEncodeError, UnicodeDecodeError):
             return x
-        return repaired
 
-    return s.map(_fix)
+    out = s.copy()
+    out[mask] = s[mask].map(_fix)
+    return out
 
 
 @pandas_udf(StringType())
@@ -97,8 +118,12 @@ def nfkd_lower(s: pd.Series) -> pd.Series:
     that only need ASCII folding should use normalize_title instead."""
     import unicodedata
 
+    # casefold, not lower: the cited norm_str casefolds, and the two differ
+    # on e.g. 'ß' (lower 'ß' vs casefold 'ss') — comparison keys must match
+    # the reference's
     return s.map(
-        lambda x: unicodedata.normalize("NFKD", x).lower() if x is not None else None
+        lambda x: unicodedata.normalize("NFKD", x).casefold()
+        if x is not None else None
     )
 
 
@@ -106,5 +131,8 @@ MOJIBAKE_MARKER = r"(Ã|â€|Â)"
 
 
 def repair_text(col: Column) -> Column:
-    """Conditional mojibake repair: cheap JVM predicate gates the pandas UDF."""
-    return F.when(col.rlike(MOJIBAKE_MARKER), fix_mojibake(col)).otherwise(col)
+    """Mojibake repair.  NOT wrapped in F.when: Spark hoists Python UDFs out
+    of conditionals and evaluates them on every row anyway, so a JVM-side
+    gate is a no-op that only hides the cost — the real prefilter is the
+    vectorized marker mask inside fix_mojibake."""
+    return fix_mojibake(col)

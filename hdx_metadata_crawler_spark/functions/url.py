@@ -22,8 +22,16 @@ consistent across executors), per the north rule.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# ASCII whitespace only — the Java \s class the column expression trims.
+# (str.strip() with no args also strips unicode spaces like NBSP, which the
+# JVM side would keep: the two sides must disagree on NO input.)
+_ASCII_WS = " \t\n\r\x0b\x0c"
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
 def canonicalize_url_py(url: str | None) -> str | None:
@@ -32,9 +40,13 @@ def canonicalize_url_py(url: str | None) -> str | None:
     expression by construction)."""
     if url is None:
         return None
-    u = url.strip()
+    u = url.strip(_ASCII_WS)
     u = u.split("#", 1)[0]
-    if "://" not in u:
+    # ANCHORED scheme test, like the column expression's rlike — a bare
+    # '"://" in u' would treat 'h.org/r?next=https://b.com' (a '://' in the
+    # QUERY) as schemed and partition at the wrong place, silently diverging
+    # from the engine's canon_url/url_hash for redirect-style URLs.
+    if not _SCHEME_RE.match(u):
         u = "https://" + u
     scheme, _, rest = u.partition("://")
     scheme = scheme.lower()
@@ -59,7 +71,12 @@ def canonicalize_url_py(url: str | None) -> str | None:
 
 def canonicalize_url(col: Column) -> Column:
     """Canonical URL, entirely JVM-side (no Python in the hot path)."""
-    no_frag = F.regexp_replace(F.trim(col), r"#.*$", "")
+    # \s-trim, not F.trim: trim() strips only ' ' and a tab/newline-padded
+    # URL would keep its padding, fail the anchored scheme match, and
+    # canonicalize differently from the Python reference's strip
+    no_frag = F.regexp_replace(
+        F.regexp_replace(col, r"^\s+|\s+$", ""), r"#.*$", ""
+    )
     # scheme-less input defaults to https:// — without this, the extraction
     # regexes all miss and every scheme-less URL collapsed to ':///' with
     # ONE shared url_hash (silent frontier dedup of distinct URLs).

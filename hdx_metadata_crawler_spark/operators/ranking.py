@@ -66,17 +66,25 @@ def two_phase_rank(
     if not offsets:  # empty frame: schema-compatible empty result
         return df.withColumn(rank_col, F.lit(0).cast("long"))
     offset_map = F.create_map(
-        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+        *[
+            c
+            for pid, off in offsets.items()
+            # offsets as LONG literals: with int32 lits the int+int addition
+            # below would wrap BEFORE the outer cast exactly in the >2B-row
+            # regime this operator exists for (negative ranks past 2^31)
+            for c in (F.lit(pid), F.lit(off).cast("long"))
+        ]
     )
     w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
     return (
         ranged.withColumn("_rn", F.row_number().over(w_local))
         .withColumn(
             rank_col,
-            # long, not int: offsets exceed 2^31 exactly in the >2B-row
-            # regime this operator exists for; callers with bounded inputs
-            # (e.g. the crawl manifest, bounded by page_size) cast down.
-            (F.col("_rn") + F.element_at(offset_map, F.col("_pid"))).cast("long"),
+            # row_number is int32; widen it before adding the long offset.
+            # Callers with bounded inputs (e.g. the crawl manifest, bounded
+            # by page_size) cast down.
+            F.col("_rn").cast("long")
+            + F.element_at(offset_map, F.col("_pid")),
         )
         .drop("_pid", "_rn")
     )

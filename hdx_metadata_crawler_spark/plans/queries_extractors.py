@@ -212,18 +212,15 @@ _SANITIZE_TAIL_B = "” &#39;q&#39; – — … &lt;tag&gt;  end"
 
 def _sanitize_oracle() -> str:
     """DuckDB twin of functions/text.sanitize_text, generated from the SAME
-    constants (entity table, translate src/dst) in the SAME order."""
-    from ..functions.text import _UNICODE_DST, _UNICODE_SRC
+    constants (ENTITY_TABLE, translate src/dst) in the SAME order."""
+    from ..functions.text import ENTITY_TABLE, _UNICODE_DST, _UNICODE_SRC
 
     def q(s: str) -> str:
         return s.replace("'", "''")
 
     messy = f"'<p>' || text || '{q(_SANITIZE_TAIL_A)}' || lang || '{q(_SANITIZE_TAIL_B)}'"
     c = f"regexp_replace({messy}, '<[^>]+>', ' ', 'g')"
-    for a, b in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
-    ):
+    for a, b in ENTITY_TABLE:
         c = f"replace({c}, '{q(a)}', '{q(b)}')"
     c = f"translate({c}, '{q(_UNICODE_SRC)}', '{q(_UNICODE_DST)}')"
     c = f"replace({c}, '…', '...')"

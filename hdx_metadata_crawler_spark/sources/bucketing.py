@@ -37,6 +37,22 @@ def bucketed_join(
 
 
 def join_exchanges(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) nodes in the executed plan."""
+    """Number of SHUFFLE Exchange nodes in the FINAL executed plan.
+
+    Two traps the naive ``plan.count('Exchange')`` falls into: (a) with AQE
+    on (session.py default) the pre-action plan is not final
+    (isFinalPlan=false) — the frame is collected first so the adaptive plan
+    has settled; (b) ``BroadcastExchange``/``ReusedExchange`` are not
+    shuffles and must not count (a broadcast join would read as 1 'shuffle')
+    — only partitioning exchanges match."""
+    import re
+
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange")
+    return len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|"
+            r"RoundRobinPartitioning|SinglePartition)",
+            plan,
+        )
+    )

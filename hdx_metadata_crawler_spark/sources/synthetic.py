@@ -24,6 +24,9 @@ MIRROR_HOSTS = ("mirror-a.example.org", "mirror-b.example.org", "cdn.example.net
 # Failure model (deterministic in url): ~0.2% permanent, ~2% transient
 # (succeed on retry attempt >= needed_attempts).
 PERMANENT_FAIL_MOD = 499  # h % 499 == 0  → ~0.2%
+# discovered-URL id namespace: far above any seed count so discovered ids
+# can never collide with seeds (see fetch())
+DISCOVERED_BASE = 10**9
 TRANSIENT_FAIL_MOD = 47  # h % 47 == 0   → ~2%, succeeds at attempt 2
 
 _VOCAB = (
@@ -148,6 +151,13 @@ def fetch(url: str, attempt: int) -> FetchResult:
     h = _h(url)
     ds = url.split("/dataset/")[-1].split("/")[0] if "/dataset/" in url else \
         url.split("/hdx/")[-1].split("/")[0]
+    # A URL outside the synthetic universe (callers may seed arbitrary
+    # lists) must come back as a normal permanent error, not a ValueError
+    # that kills the whole fetch task mid-crawl.
+    try:
+        seq = int(ds.split("-")[0])
+    except ValueError:
+        return FetchResult("error", ds, "", "", [], [], [])
     empty = FetchResult("error", ds, "", "", [], [], [])
     if h % PERMANENT_FAIL_MOD == 0:
         return empty
@@ -158,13 +168,19 @@ def fetch(url: str, attempt: int) -> FetchResult:
     notes = doc["notes"]
     tags = [t["name"] for t in doc["tags"]]
     resources = [(res["name"], res["url"]) for res in doc["resources"]]
-    # Frontier expansion: every 10th SEED dataset links 2 related datasets
-    # (discovered ids live at seq >= 100000 and do not re-expand, so the
-    # frontier is bounded: n_seeds * 1.2).
+    # Frontier expansion: every 10th SEED dataset links 2 related datasets.
+    # Discovered ids live at DISCOVERED_BASE + 2*seq and do not re-expand,
+    # so the frontier is bounded: n_seeds * 1.2.  The base sits far above
+    # any realistic seed count — round 3 moved it from 100000, where a
+    # >=100k-seed run made discovered ids BYTE-IDENTICAL to later seeds
+    # (frontier dedup then silently dropped one copy and the bounded-
+    # frontier invariant went quietly wrong).
     discovered = []
-    seq = int(ds.split("-")[0])
-    if seq % 10 == 0 and seq < 100000:
-        discovered = [seed_url(100000 + seq * 2), seed_url(100000 + seq * 2 + 1)]
+    if seq % 10 == 0 and seq < DISCOVERED_BASE:
+        discovered = [
+            seed_url(DISCOVERED_BASE + seq * 2),
+            seed_url(DISCOVERED_BASE + seq * 2 + 1),
+        ]
     return FetchResult("ok", ds, title, notes, tags, resources, discovered)
 
 

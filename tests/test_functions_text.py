@@ -122,6 +122,13 @@ def test_canonicalize_matches_python_reference(spark):
         "  https://pad.example.org/x  ",         # whitespace
         "https://h/p?",                          # empty query
         "https://h/p?single",                    # bare param
+        # round-3 review regressions:
+        "hdx.humdata.org/r?next=https://b.com",  # '://' in the QUERY of a
+                                                 # scheme-less URL (redirect
+                                                 # param) — anchored scheme
+                                                 # detection on both sides
+        "\thttps://tab.example.org/x\n",         # tab/newline padding —
+                                                 # \s-trim on both sides
     ]
     df = spark.createDataFrame([(u,) for u in fixtures], ["u"])
     got = [
