@@ -34,7 +34,7 @@ WITH idx AS (
            CASE WHEN len(toks) >= 3 THEN
              list_distinct(list_transform(range(1, len(toks) - 1),
                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-           ELSE [array_to_string(toks, ' ')] END AS shingles
+           ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
     FROM (SELECT doc_id,
                  list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                              t -> t <> '') AS toks
@@ -75,7 +75,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN len(toks) >= 3 THEN
                list_distinct(list_transform(range(1, len(toks) - 1),
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-             ELSE [array_to_string(toks, ' ')] END AS shingles
+             ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                                t -> t <> '') AS toks

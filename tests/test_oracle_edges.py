@@ -78,3 +78,23 @@ def test_media_features_null_and_empty_text_parity(spark, tmp_path):
     ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
     _parity(spark, tmp_path, "media_features")
     _parity(spark, tmp_path, "frame_offsets")
+
+
+def test_ngram_jaccard_null_text_parity(spark, tmp_path):
+    """A NULL-text document must behave exactly like an empty one in BOTH
+    engines (round-3 review: Spark folded NULL to [''] while the oracle's
+    array_to_string yielded [NULL] — one NULL row silently diverged every
+    sketch oracle before the coalesce guards)."""
+    rows = [
+        (0, None, "src1", "en", 0),
+        (1, "", "src2", "en", 0),
+        (2, "alpha beta gamma delta epsilon", "src1", "en", 30),
+        (3, "alpha beta gamma delta epsilon", "src3", "en", 30),
+        (4, "totally different words here now", "src1", "en", 32),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars int"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    _parity(spark, tmp_path, "ngram_jaccard_pairs")
+    _parity(spark, tmp_path, "minhash_lsh_dedup")
+    _parity(spark, tmp_path, "simhash_fingerprints")

@@ -157,3 +157,53 @@ def test_bundle_zip_missing_sections_tolerated(tmp_path):
     import zipfile
     with zipfile.ZipFile(out) as z:
         assert z.namelist() == []
+
+
+def test_nb06_to_nb07_bundle_flow(spark, tmp_path):
+    """End-to-end NB06 -> NB07 packaging: translate_records writes per-record
+    JSON files, rdls_index writes index/rdls_index.jsonl, a validation CSV
+    goes to reports/, and bundle_zip packages all three exactly as the
+    reference's deliverable (records/ + index/ + reports/ in one deflated
+    zip).  Ties S10 to the real dataflow rather than synthetic files."""
+    import json
+    import sys
+    import zipfile
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    from hdx_metadata_crawler_spark.sources import sinks
+
+    sf = "/root/testdata/sf0.001"
+    recs = entry.queries()["translate_records"](spark, sf).limit(20).collect()
+    idx = entry.queries()["rdls_index"](spark, sf).limit(20).collect()
+
+    records_dir = tmp_path / "records"
+    records_dir.mkdir()
+    for r in recs:
+        (records_dir / f"{r['rdls_id']}.json").write_text(r["record_json"])
+    index_file = tmp_path / "rdls_index.jsonl"
+    with index_file.open("w") as f:
+        for r in idx:
+            f.write(json.dumps(r.asDict()) + "\n")
+    reports = tmp_path / "reports"
+    reports.mkdir()
+    (reports / "rdls_validation_summary.md").write_text("# summary\n")
+
+    out = str(tmp_path / "rdls_metadata_bundle.zip")
+    rep = sinks.bundle_zip(
+        out, records_dir=str(records_dir), index_file=str(index_file),
+        reports_dir=str(reports),
+    )
+    assert rep["records"] == len({r["rdls_id"] for r in recs})
+    assert rep["index"] == 1 and rep["reports"] == 1
+
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+        assert "index/rdls_index.jsonl" in names
+        assert "reports/rdls_validation_summary.md" in names
+        # every packaged record parses back and its id matches its filename
+        for n in names:
+            if n.startswith("records/"):
+                rec = json.loads(z.read(n))
+                assert n == f"records/{rec['id']}.json"
