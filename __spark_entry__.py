@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; ops verified
-    only in tests (xxhash64-based sketches, approximate ANN) are omitted →
-    rows-only driver check."""
+    """DuckDB-equivalent SQL for EVERY registered query (94/94 — the
+    sketches/ANN use portable md5-derived hashes and inlined plane/k-means
+    constants so DuckDB recomputes them independently)."""
     return _registry.oracle_sql()

@@ -10,9 +10,11 @@ Conventions (driver contract, see /root/repo/__spark_entry__.py):
 - top-k queries carry a TOTAL deterministic ORDER BY (tie-broken by key) so
   LIMIT contents agree.
 
-Ops with no SQL-expressible oracle (MinHash-LSH, SimHash, the crawl frontier)
-register ``oracle=None`` → the driver records a rows-only check; their real
-verification lives in tests/.
+``oracle=None`` would record a rows-only driver check, but as of round 3
+every registered query is oracle-backed (the xxhash64 sketches were
+converted to portable md5 oracles; the iterative k-means re-runs as chained
+SQL CTEs); the crawl frontier itself is verified by simulator-parity tests
+rather than the registry.
 """
 
 from __future__ import annotations
