@@ -5,15 +5,24 @@ Design for the 10^10-URL frontier (SURVEY §4 physical strategy 1):
 - The seen set is hash-partitioned: partition p owns url_hashes with
   ``pmod(url_hash, P) == p``.  Each partition materializes an m-bit Bloom
   bitset (k hash probes via Kirsch-Mitzenmacher double hashing h1 + i*h2).
-  At 10^10 keys / P=4096 partitions / 10 bits-per-key, each partition bitset
-  is ~3 GB total across the cluster and ~750 KB per partition — buildable
-  with one ``applyInPandas`` pass and broadcastable in aggregate.
-- Probe path: candidates are checked against the broadcast bitsets in a
-  vectorized Arrow batch (numpy bit math, no per-row Python).  Bloom-NEGATIVE
-  candidates are *definitely unseen* — they skip the exact join entirely.
-  Bloom-POSITIVE candidates (true hits + ~1% false positives) are rescued
-  with an exact anti-join on url_hash so a false positive can NEVER silently
-  drop a URL (SURVEY §7.4 risk 2).
+  Design-point arithmetic (10^10 keys): at TARGET_BITS_PER_KEY=20 the
+  aggregate bitset state is 10^10 × 20 bits = **25 GB across the cluster**
+  (12.5 GB at the MIN_BITS_PER_KEY=10 resize floor) — at P=4096 partitions
+  that is **~6.1 MB per partition**.  25 GB is NOT driver-collectable or
+  whole-map-broadcastable, which is why the probe is co-partitioned
+  (below); 6.1 MB per task trivially is.  ``test_crawl_engine.py::
+  test_bloom_design_point_sizing`` pins these numbers.
+- Probe path (co-partitioned, executor-side — no driver collect, no
+  whole-state broadcast): candidates gain ``partition_id = pmod(hash, P)``
+  and are cogrouped with the blooms table on it, so each task holds exactly
+  ONE partition's bitset and probes its slice of candidates in a vectorized
+  Arrow batch (numpy bit math, no per-row Python).  The driver never holds
+  any bitset.  Bloom-NEGATIVE candidates are *definitely unseen* — they
+  skip the exact join entirely.  Bloom-POSITIVE candidates (true hits +
+  ~1% false positives) are rescued with an exact anti-join on url_hash so
+  a false positive can NEVER silently drop a URL (SURVEY §7.4 risk 2).
+- Probe parallelism equals P (one task per bloom partition), so size P to a
+  small multiple of total cluster cores (4096 at the design point).
 - In local tests P is small; the partitioning/probe mechanics are identical.
 
 Deletion support (the cuckoo-filter fallback named by the north rule) lives
@@ -230,47 +239,59 @@ def bloom_anti_join(
 ) -> DataFrame:
     """candidates ∖ seen, bloom-accelerated and false-drop-free.
 
-    Plan: broadcast the (small) bloom bitsets to every task; a vectorized
-    probe marks each candidate maybe-seen / definitely-unseen.  Only the
-    maybe-seen slice (≈ |true hits| + 1% of rest) takes the exact anti-join
-    shuffle; the definitely-unseen slice passes through shuffle-free.  At
-    10^10 frontier scale this turns a full frontier×seen shuffle into a
-    broadcast probe + a small rescue join.
-    """
-    spark = candidates.sparkSession
-    bloom_rows = blooms.collect()
-    _check_partitioning(bloom_rows, n_partitions, "bloom_anti_join")
-    bloom_map = {
-        r["partition_id"]: (r["m"], np.unpackbits(np.frombuffer(r["bitset"], dtype=np.uint8)))
-        for r in bloom_rows
-    }
-    bc = spark.sparkContext.broadcast(bloom_map)
-    n_part_bc = spark.sparkContext.broadcast(n_partitions)
+    Plan (co-partitioned executor-side probe): candidates are repartitioned
+    by ``pmod(url_hash, P)`` and cogrouped with the blooms table on
+    partition_id, so each task receives its slice of candidates plus the
+    SINGLE bloom row it needs (~6 MB at the 10^10-key design point, see
+    module docstring) and probes it vectorized.  No task ever holds more
+    than its own partition's bitset, and the driver holds none — the
+    previous collect-all + whole-map broadcast was a 25 GB driver/broadcast
+    memory wall at the design point.  Only the maybe-seen slice (≈ |true
+    hits| + ~1% of the rest) takes the exact anti-join; the
+    definitely-unseen slice passes through.  At 10^10 frontier scale this
+    turns a full frontier×seen shuffle into one candidate-sized shuffle on
+    a perfectly uniform key + a small rescue join.
 
-    @F.pandas_udf(BooleanType())
-    def maybe_seen(h: pd.Series) -> pd.Series:
-        bm = bc.value
-        if not bm:
-            return pd.Series(np.zeros(len(h), dtype=bool))
-        hashes = h.to_numpy(dtype=np.int64).view(np.uint64)
-        parts = (h.to_numpy(dtype=np.int64) % n_part_bc.value + n_part_bc.value) % n_part_bc.value
-        out = np.zeros(len(h), dtype=bool)
-        for p in np.unique(parts):
-            if p not in bm:
-                continue
-            m, bits = bm[p]
-            mask = parts == p
-            pos = _probe_positions(hashes[mask], m)
-            out[mask] = bits[pos].all(axis=1)
-        return pd.Series(out)
+    The build-time/probe-time ``n_partitions`` invariant is validated
+    inside the probe task (a mismatch would silently hash keys to absent
+    partitions → false negatives), so the error surfaces at action time.
+    """
+    cand = candidates.withColumn(
+        "_bloom_part", F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int")
+    )
+    out_schema = StructType(cand.schema.fields + [StructField("_maybe_seen", BooleanType())])
+
+    def probe(key: tuple, cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:
+            return cpdf.assign(_maybe_seen=pd.Series(dtype=bool))
+        if bpdf.empty:
+            return cpdf.assign(_maybe_seen=False)
+        row = bpdf.iloc[0]
+        if int(row["n_partitions"]) != n_partitions:
+            raise ValueError(
+                f"bloom_anti_join: blooms were built with n_partitions="
+                f"{int(row['n_partitions'])} but probed with {n_partitions} — "
+                "seen-set keys would silently bypass the filter"
+            )
+        m = int(row["m"])
+        bits = np.unpackbits(np.frombuffer(row["bitset"], dtype=np.uint8))
+        hashes = cpdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+        pos = _probe_positions(hashes, m)
+        return cpdf.assign(_maybe_seen=bits[pos].all(axis=1))
 
     # Persist the flagged frontier: both branches (pass-through and rescue)
-    # consume it, and without a persist the probe UDF + candidate lineage
+    # consume it, and without a persist the probe cogroup + candidate lineage
     # would be recomputed once per branch (measured ~2x the probe cost per
     # round).  The engine releases it at the end of each round via
     # release_persisted(); at cluster scale this is the round's shuffle
     # output staying materialized, which Spark does anyway.
-    flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col))).persist()
+    flagged = (
+        cand.groupBy("_bloom_part")
+        .cogroup(blooms.withColumnRenamed("partition_id", "_bloom_part").groupBy("_bloom_part"))
+        .applyInPandas(probe, out_schema)
+        .drop("_bloom_part")
+        .persist()
+    )
     _PERSISTED.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     # no .distinct() on the seen side: a left_anti join is insensitive to

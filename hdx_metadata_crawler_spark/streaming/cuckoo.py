@@ -252,33 +252,47 @@ def cuckoo_anti_join(
     n_partitions: int = 16,
 ) -> DataFrame:
     """candidates ∖ seen with the cuckoo probe + exact rescue — identical
-    contract to bloom.bloom_anti_join (false-drop-free)."""
-    spark = candidates.sparkSession
-    cuckoo_rows = cuckoos.collect()
-    _check_partitioning(cuckoo_rows, n_partitions, "cuckoo_anti_join")
-    tables = {
-        r["partition_id"]: (r["m"], r["table"]) for r in cuckoo_rows
-    }
-    bc = spark.sparkContext.broadcast(tables)
-    n_bc = spark.sparkContext.broadcast(n_partitions)
+    contract to bloom.bloom_anti_join (false-drop-free).
 
-    @F.pandas_udf(BooleanType())
-    def maybe_seen(h: pd.Series) -> pd.Series:
-        tbl = bc.value
-        if not tbl:
-            return pd.Series(np.zeros(len(h), dtype=bool))
-        hashes = h.to_numpy(dtype=np.int64).view(np.uint64)
-        parts = (h.to_numpy(dtype=np.int64) % n_bc.value + n_bc.value) % n_bc.value
-        out = np.zeros(len(h), dtype=bool)
-        for p in np.unique(parts):
-            if p not in tbl:
-                continue
-            m, raw = tbl[p]
-            mask = parts == p
-            out[mask] = CuckooTable.from_bytes(m, raw).contains(hashes[mask])
-        return pd.Series(out)
+    Co-partitioned executor-side probe, same shape as bloom_anti_join:
+    candidates cogroup with the cuckoo table on ``pmod(hash, P)`` so each
+    task holds exactly one partition's table and the driver holds none
+    (the previous collect-all + whole-map broadcast hit the same 10^10-key
+    driver memory wall as the bloom probe).  The n_partitions invariant is
+    validated inside the probe task and surfaces at action time.
+    """
+    cand = candidates.withColumn(
+        "_cuckoo_part", F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int")
+    )
+    out_schema = StructType(
+        cand.schema.fields + [StructField("_maybe_seen", BooleanType())]
+    )
 
-    flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col))).persist()
+    def probe(key: tuple, cpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:
+            return cpdf.assign(_maybe_seen=pd.Series(dtype=bool))
+        if tpdf.empty:
+            return cpdf.assign(_maybe_seen=False)
+        row = tpdf.iloc[0]
+        if int(row["n_partitions"]) != n_partitions:
+            raise ValueError(
+                f"cuckoo_anti_join: tables were built with n_partitions="
+                f"{int(row['n_partitions'])} but probed with {n_partitions} — "
+                "seen-set keys would silently bypass the filter"
+            )
+        hashes = cpdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+        t = CuckooTable.from_bytes(int(row["m"]), row["table"])
+        return cpdf.assign(_maybe_seen=t.contains(hashes))
+
+    flagged = (
+        cand.groupBy("_cuckoo_part")
+        .cogroup(
+            cuckoos.withColumnRenamed("partition_id", "_cuckoo_part").groupBy("_cuckoo_part")
+        )
+        .applyInPandas(probe, out_schema)
+        .drop("_cuckoo_part")
+        .persist()
+    )
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     # no .distinct(): left_anti is insensitive to right-side duplicates
     # (see bloom.bloom_anti_join — same O(|seen|)-shuffle-per-round saving)

@@ -27,9 +27,12 @@ SPARK-SIDE (array/struct/transform with index lambdas — no Python), matching
 the input_hint schema (doc_id, spans array<struct<kind,text,media_ref,
 offset>>) plus per-partition lineage columns (round, partition_id, source).
 
-Scale design: the only shuffles per round are (a) the rescue anti-join on
-bloom-positive candidates, (b) the page top-k, (c) one repartition by
-salted host-hash before the fetch stage.  The hot-host skew (≥70% of URLs on
+Scale design: the only shuffles per round are (a) the co-partitioned bloom
+probe (candidates repartitioned by pmod(url_hash, P)) plus the rescue
+anti-join on bloom-positive candidates — the seen side of that join is a
+catalog table bucketed on url_hash, so ONLY the round-sized candidate slice
+exchanges, never the O(10^10) seen set — (b) the page top-k, (c) one
+repartition by salted host-hash before the fetch stage.  The hot-host skew (≥70% of URLs on
 one host) is broken by salting the repartition key with pmod(url_hash, S) —
 politeness stays correct because fetch slots were assigned *before* the
 salt split, per host globally.
@@ -37,6 +40,7 @@ salt split, per host globally.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -61,7 +65,7 @@ from pyspark.sql.window import Window
 from ..functions.url import url_hash
 from ..operators import ranking
 from ..operators.ranking import two_phase_rank
-from ..sources import synthetic
+from ..sources import bucketing, synthetic
 from . import bloom, robots
 
 FRONTIER_SCHEMA = StructType(
@@ -137,6 +141,7 @@ class CrawlConfig:
     max_retries: int = 6
     max_rounds: int = 100
     bloom_partitions: int = 16
+    seen_buckets: int = 32  # bucket count of the catalog-bucketed seen store
     host_salt: int = 8  # salt fan-out for the hot-host fetch repartition
     fetch_partitions: int = 16
     politeness_salts: int = 8  # parallel sub-queues per host (see politeness_slots)
@@ -261,6 +266,15 @@ class CrawlEngine:
         self.ckpt_dir = ckpt_dir
         self.cfg = config or CrawlConfig()
         self.metrics = CrawlMetrics()
+        # Catalog-bucketed seen store (one per checkpoint dir): the rescue
+        # anti-join and the discovered anti-join hit the FULL seen set every
+        # round, and a plain-parquet seen side re-shuffles O(|seen|) per
+        # round — at the 10^10-key design point that shuffle IS the round
+        # cost.  A table bucketed on url_hash exposes hashpartitioning to
+        # the scan, so only the (round-sized) candidate side exchanges.
+        self._seen_table = "seen_store_" + hashlib.md5(
+            os.path.abspath(ckpt_dir).encode()
+        ).hexdigest()[:12]
 
     # ------------------------------------------------------------------ state
     def _round_dir(self, rnd: int) -> str:
@@ -362,6 +376,31 @@ class CrawlEngine:
             state[name] = self.spark.read.schema(_APPEND_SCHEMAS[name]).parquet(*dirs)
         return state
 
+    # ------------------------------------------------- bucketed seen store
+    # The committed per-round seen deltas remain the source of truth; the
+    # bucketed table is a derived join accelerator.  It is REBUILT from the
+    # committed deltas at the start of every run (fresh or resume), so a
+    # crash between a checkpoint commit and the store append can never leave
+    # phantom "seen" rows that would silently drop URLs.
+
+    def _rebuild_seen_store(self, seen: DataFrame) -> DataFrame:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._seen_table}")
+        bucketing.write_bucketed(
+            seen, self._seen_table, "url_hash", n_buckets=self.cfg.seen_buckets
+        )
+        return self.spark.table(self._seen_table)
+
+    def _append_seen_store(self, rnd: int) -> DataFrame:
+        """Append round ``rnd``'s COMMITTED seen delta (read back from the
+        checkpoint, not recomputed from lineage) into the bucketed store."""
+        delta = self.spark.read.schema(_APPEND_SCHEMAS["seen"]).parquet(
+            os.path.join(self._round_dir(rnd), "seen_delta")
+        )
+        delta.write.mode("append").bucketBy(
+            self.cfg.seen_buckets, "url_hash"
+        ).sortBy("url_hash").saveAsTable(self._seen_table)
+        return self.spark.table(self._seen_table)
+
     # ------------------------------------------------------------------- run
     def seed_state(self, seed_urls: list[str]) -> dict[str, DataFrame]:
         spark = self.spark
@@ -418,6 +457,12 @@ class CrawlEngine:
                 shutil.rmtree(self.ckpt_dir)
             os.makedirs(self.ckpt_dir, exist_ok=True)
 
+        # Bucketed seen store: rebuilt once per run from the committed
+        # deltas (O(|seen|) once, amortized across the whole run), then
+        # appended per round — every per-round anti-join against it reads
+        # the bucketing as output partitioning, no seen-side Exchange.
+        seen_store = self._rebuild_seen_store(state["seen"])
+
         # Robots policy dim, built ONCE per run (not per round): explicit
         # rows for hosts with a non-default robots.txt + the default policy
         # for everything else.  The page joins this broadcast-side — no
@@ -439,7 +484,7 @@ class CrawlEngine:
             # + exact rescue for bloom-positives
             blooms = state["blooms"]
             candidates = bloom.bloom_anti_join(
-                frontier, seen, blooms, n_partitions=cfg.bloom_partitions
+                frontier, seen_store, blooms, n_partitions=cfg.bloom_partitions
             )
 
             # 2. deterministic page: top page_size by (priority, canon_url)
@@ -597,7 +642,7 @@ class CrawlEngine:
                     F.lit(0).alias("attempt"),
                 )
                 .join(frontier.select("url_hash"), "url_hash", "left_anti")
-                .join(seen.select("url_hash"), "url_hash", "left_anti")
+                .join(seen_store.select("url_hash"), "url_hash", "left_anti")
             )
             frontier_next = remaining.unionByName(retry_rows).unionByName(
                 discovered.select(*[f.name for f in FRONTIER_SCHEMA.fields])
@@ -658,6 +703,10 @@ class CrawlEngine:
                 "politeness_rps": cfg.rps,
             }
             self._write_state(rnd, new_mutable, deltas, metrics)
+            # append THIS round's committed seen delta into the bucketed
+            # store (read back from the checkpoint — exact committed rows,
+            # and counted inside the round's wall time)
+            seen_store = self._append_seen_store(rnd)
             wall = time.time() - t0
             metrics.update(
                 {

@@ -362,6 +362,23 @@ def test_bloom_chained_merges_grow_and_stay_exact(spark):
     )
 
 
+def test_bloom_design_point_sizing():
+    """Pin the 10^10-key design-point arithmetic from the module docstring:
+    ~25 GB aggregate bitset state at TARGET_BITS_PER_KEY=20 (12.5 GB at the
+    MIN_BITS_PER_KEY=10 resize floor), ~6.1 MB per partition at P=4096.
+    The aggregate is NOT driver-collectable — the probe must stay
+    co-partitioned (each task holds exactly one partition's bitset)."""
+    n_keys = 10**10
+    p = 4096
+    per_part_bits = bloom._sized_m(n_keys // p)
+    agg_gb = per_part_bits * p / 8 / 1e9
+    assert 24.0 <= agg_gb <= 26.0, f"aggregate {agg_gb:.1f} GB off the 25 GB design point"
+    per_task_mb = per_part_bits / 8 / 1e6
+    assert per_task_mb <= 8.0, f"per-task bitset {per_task_mb:.1f} MB exceeds budget"
+    floor_gb = n_keys * bloom.MIN_BITS_PER_KEY / 8 / 1e9
+    assert abs(floor_gb - 12.5) < 0.01
+
+
 def test_bloom_partition_count_mismatch_refuses(spark):
     """Probing/merging with a different n_partitions than the table was
     built with would silently bypass the filter for absent partitions —
@@ -372,8 +389,10 @@ def test_bloom_partition_count_mismatch_refuses(spark):
         [(u,) for u in synthetic.seed_urls(200)], ["canon_url"]
     ).select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
     blooms = bloom.build_blooms(urls, n_partitions=8)
-    with pytest.raises(ValueError, match="n_partitions"):
-        bloom.bloom_anti_join(urls, urls, blooms, n_partitions=16)
+    # the probe validates inside the co-partitioned task, so the mismatch
+    # surfaces at action time (Spark wraps the ValueError in PythonException)
+    with pytest.raises(Exception, match="n_partitions"):
+        bloom.bloom_anti_join(urls, urls, blooms, n_partitions=16).collect()
     with pytest.raises(ValueError, match="n_partitions"):
         bloom.merge_blooms(blooms, urls, n_partitions=4)
 
@@ -439,3 +458,66 @@ def test_duplicate_seeds_fetch_once(spark, tmp_path):
     # every canon_url fetched at most once overall
     urls = [m[1] for m in manifest]
     assert len(urls) == len(set(urls))
+
+
+def test_seen_store_content_and_rescue_plan_shape(spark, tmp_path):
+    """The catalog-bucketed seen store must (a) exactly mirror the committed
+    seen set after a multi-round run, and (b) plan the rescue-shaped
+    left-anti join with NO Exchange on the seen side — only the round-sized
+    candidate side shuffles (the whole point at the 10^10-key design
+    point)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt_store")
+    cfg = CrawlConfig(**{**CFG.__dict__, "max_rounds": 3})
+    engine = CrawlEngine(spark, ckpt, cfg)
+    out = engine.run(seed_urls=synthetic.seed_urls(100))
+    seen = sorted(r["url_hash"] for r in out["state"]["seen"].collect())
+    store = spark.table(engine._seen_table)
+    assert sorted(r["url_hash"] for r in store.collect()) == seen
+    assert len(seen) > 0
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = spark.range(0, 500).select(F.col("id").alias("url_hash"))
+        j = cand.join(store.select("url_hash"), "url_hash", "left_anti")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final, "seen side must scan as bucketed"
+        n_exchanges = len(re.findall(r"\bExchange hashpartitioning", final))
+        assert n_exchanges == 1, (
+            f"expected exactly 1 Exchange (candidate side only), got "
+            f"{n_exchanges}:\n{final}"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_seen_store_rebuilt_on_resume_drops_phantom_rows(spark, tmp_path):
+    """A crash between checkpoint commit and store append (or debris from a
+    dead run) must not leave phantom 'seen' rows: run() rebuilds the store
+    from committed deltas, so a poisoned store cannot silently drop URLs."""
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt_phantom")
+    cfg1 = CrawlConfig(**{**CFG.__dict__, "max_rounds": 1})
+    e1 = CrawlEngine(spark, ckpt, cfg1)
+    e1.run(seed_urls=synthetic.seed_urls(60))
+    # poison the store with rows that were never committed as seen
+    phantom = spark.createDataFrame(
+        [(987654321012345678, "https://phantom.example/x")],
+        "url_hash long, canon_url string",
+    )
+    phantom.write.mode("append").bucketBy(
+        cfg1.seen_buckets, "url_hash"
+    ).sortBy("url_hash").saveAsTable(e1._seen_table)
+    # resumed run must rebuild from committed deltas -> phantom is gone
+    e2 = CrawlEngine(spark, ckpt, CFG)
+    out = e2.run(resume=True)
+    store = spark.table(e2._seen_table)
+    assert store.filter(F.col("url_hash") == 987654321012345678).count() == 0
+    seen = sorted(r["url_hash"] for r in out["state"]["seen"].collect())
+    assert sorted(r["url_hash"] for r in store.collect()) == seen
