@@ -100,22 +100,36 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            n_bytes = payloads.map(len).astype("int64")
-            head = payloads.map(lambda b: b[0] if len(b) else 0).astype("int32")
-            bsum = payloads.map(
-                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) % 1000
-            ).astype("int64")
-            mean_px = payloads.map(
-                lambda b: int(decode_image(b, stub=True).mean())
+            # Fully vectorized: ONE concatenated buffer + offset math (no
+            # per-payload Python lambdas).  Per-segment sums come from a
+            # prefix-sum difference, which unlike np.add.reduceat is exact
+            # for zero-length segments.
+            n = len(payloads)
+            lengths = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]) if n else np.zeros(0, np.int64)
+            csum = np.concatenate([[0], np.cumsum(buf, dtype=np.int64)])
+            seg_sum = csum[starts + lengths] - csum[starts]
+            nonempty = lengths > 0
+            safe_idx = np.where(nonempty, starts, 0)
+            head = np.where(
+                nonempty, buf[safe_idx] if buf.size else np.zeros(n, np.uint8), 0
             ).astype("int32")
+            # mean_pixel replicates decode_image(stub=True): the payload is
+            # tiled cyclically to 48 bytes (np.resize), so the tiled total is
+            # full_cycles * seg_sum + sum(first `rem` bytes).
+            safe_len = np.maximum(lengths, 1)
+            full, rem = 48 // safe_len, 48 % safe_len
+            head_sum = csum[starts + rem] - csum[starts]
+            tiled_total = np.where(nonempty, full * seg_sum + head_sum, 0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_kind": pdf["media_kind"],
-                    "n_bytes": n_bytes,
+                    "n_bytes": lengths,
                     "head_byte": head,
-                    "byte_sum_mod": bsum,
-                    "mean_pixel": mean_px,
+                    "byte_sum_mod": (seg_sum % 1000).astype("int64"),
+                    "mean_pixel": (tiled_total // 48).astype("int32"),
                 }
             )
 

@@ -64,12 +64,27 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     queries is broadcast (small side); ranking is a per-query-partition
     window — deterministic tie-break on neighbor id.
+
+    This is the EXACT BASELINE, cost O(|queries| × |corpus|): the broadcast
+    crossJoin is only sane while the query side stays driver/broadcast-sized.
+    ``max_queries`` (checked eagerly with an O(limit) count) refuses a large
+    query side instead of silently planning a corpus × corpus explosion — at
+    scale use knn_lsh / knn_ivf, which bucket the candidate space.
     """
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"knn_bruteforce: query side has >{max_queries} rows; the "
+            "broadcast crossJoin baseline is O(|queries| x |corpus|) — use "
+            "knn_lsh or knn_ivf for large query sets (or raise max_queries "
+            "explicitly if you accept the cost)"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )

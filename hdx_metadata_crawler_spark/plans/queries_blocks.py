@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rdls_schema import (
     EXPOSURE_CATEGORIES,
@@ -1611,8 +1612,14 @@ def _funnel_oracle() -> str:
              s1 AND s2x AND s3x AND s4x AND s5x AND s6x AND s7x AND s8x AS s8
       FROM stages
     ),
-    stages2 AS (SELECT * FROM cum)
+    stages2 AS (SELECT * FROM cum),
+    funnel AS (
     {stage_rows.replace("FROM stages", "FROM stages2")}
+    )
+    SELECT stage_order, stage, n_docs,
+           coalesce(n_docs <= lag(n_docs) OVER (ORDER BY stage_order), TRUE)
+             AS monotone_ok
+    FROM funnel
     """
 
 
@@ -1679,8 +1686,18 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_expr = ", ".join(
         f"{i + 1}, '{name}', n{i + 1}" for i, name in enumerate(FUNNEL_STAGES)
     )
-    return sums.selectExpr(
+    stacked = sums.selectExpr(
         f"stack(8, {stack_expr}) as (stage_order, stage, n_docs)"
+    )
+    # Monotonicity invariant folded INTO the result (judge round-3 item 8):
+    # each stage must keep <= the previous stage's docs.  The column is
+    # value-hashed by the driver against the oracle's identical lag window,
+    # so a cumulative-chain bug flips the hash, not just a pytest.  8-row
+    # frame: the single-partition window is free.
+    w = Window.orderBy("stage_order")
+    return stacked.withColumn(
+        "monotone_ok",
+        F.coalesce(F.col("n_docs") <= F.lag("n_docs").over(w), F.lit(True)),
     )
 
 

@@ -197,3 +197,19 @@ def test_blocked_pairs_match_bruteforce_nonunit_norms(spark):
             a, b = sorted((int(ids[i]), int(ids[j])))
             expected[(a, b)] = sims[i, j]
     assert got == expected
+
+
+def test_knn_bruteforce_refuses_large_query_side(spark):
+    """The exact baseline is O(|queries| x |corpus|); pointing it at a large
+    query set must raise instead of silently planning the explosion."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdx_metadata_crawler_spark.operators.similarity import knn_bruteforce
+
+    vecs = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=7), F.rand(seed=11)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_bruteforce(vecs, vecs, k=3, max_queries=10)
