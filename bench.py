@@ -163,7 +163,7 @@ def crawl_round_throughput(spark: SparkSession, n_urls: int, cores: int) -> dict
     # them incrementally — an O(|seen|) rebuild inside the measurement would
     # misattribute checkpoint-amortized work to the round (and grow with
     # n_urls).  Same rule as the frontier/seen materialization above.
-    blooms = bloom.build_blooms(seen, n_partitions=16).cache()
+    blooms = bloom.build_blooms(seen, n_partitions=128).cache()
     blooms.count()  # materialized: the timed probe reads the cached state
     # True candidate count (reported, not timed): frontier minus seen.
     n_candidates = frontier.join(
@@ -172,7 +172,10 @@ def crawl_round_throughput(spark: SparkSession, n_urls: int, cores: int) -> dict
 
     out_dir = tempfile.mkdtemp(prefix="bench_crawl_docs_")
     t0 = time.time()
-    candidates = bloom.bloom_anti_join(frontier, seen, blooms, n_partitions=16)
+    candidates = bloom.bloom_anti_join(
+        frontier, seen, blooms, n_partitions=128,
+        mode=os.environ.get("SPARK_GRAFT_PROBE_MODE", "copartition"),
+    )
 
     scheduled = politeness_slots(candidates, rps=2.0, n_salts=64)
     fetched = (

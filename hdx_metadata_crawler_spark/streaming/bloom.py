@@ -230,32 +230,11 @@ def merge_blooms(
     return merged
 
 
-def bloom_anti_join(
-    candidates: DataFrame,
-    seen: DataFrame,
-    blooms: DataFrame,
-    hash_col: str = "url_hash",
-    n_partitions: int = 16,
+def _copartition_flag(
+    candidates: DataFrame, blooms: DataFrame, hash_col: str, n_partitions: int
 ) -> DataFrame:
-    """candidates ∖ seen, bloom-accelerated and false-drop-free.
-
-    Plan (co-partitioned executor-side probe): candidates are repartitioned
-    by ``pmod(url_hash, P)`` and cogrouped with the blooms table on
-    partition_id, so each task receives its slice of candidates plus the
-    SINGLE bloom row it needs (~6 MB at the 10^10-key design point, see
-    module docstring) and probes it vectorized.  No task ever holds more
-    than its own partition's bitset, and the driver holds none — the
-    previous collect-all + whole-map broadcast was a 25 GB driver/broadcast
-    memory wall at the design point.  Only the maybe-seen slice (≈ |true
-    hits| + ~1% of the rest) takes the exact anti-join; the
-    definitely-unseen slice passes through.  At 10^10 frontier scale this
-    turns a full frontier×seen shuffle into one candidate-sized shuffle on
-    a perfectly uniform key + a small rescue join.
-
-    The build-time/probe-time ``n_partitions`` invariant is validated
-    inside the probe task (a mismatch would silently hash keys to absent
-    partitions → false negatives), so the error surfaces at action time.
-    """
+    """candidates + _maybe_seen via the cogrouped per-partition probe (each
+    task holds exactly one bitset; the driver holds none)."""
     cand = candidates.withColumn(
         "_bloom_part", F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int")
     )
@@ -279,19 +258,95 @@ def bloom_anti_join(
         pos = _probe_positions(hashes, m)
         return cpdf.assign(_maybe_seen=bits[pos].all(axis=1))
 
-    # Persist the flagged frontier: both branches (pass-through and rescue)
-    # consume it, and without a persist the probe cogroup + candidate lineage
-    # would be recomputed once per branch (measured ~2x the probe cost per
-    # round).  The engine releases it at the end of each round via
-    # release_persisted(); at cluster scale this is the round's shuffle
-    # output staying materialized, which Spark does anyway.
-    flagged = (
+    return (
         cand.groupBy("_bloom_part")
         .cogroup(blooms.withColumnRenamed("partition_id", "_bloom_part").groupBy("_bloom_part"))
         .applyInPandas(probe, out_schema)
         .drop("_bloom_part")
-        .persist()
     )
+
+
+def _broadcast_flag(
+    candidates: DataFrame, blooms: DataFrame, hash_col: str, n_partitions: int
+) -> DataFrame:
+    """candidates + _maybe_seen via a broadcast column UDF — shuffle-free,
+    but the whole filter state passes through the driver: caller-opt-in
+    small-state path ONLY."""
+    spark = candidates.sparkSession
+    bloom_rows = blooms.collect()
+    _check_partitioning(bloom_rows, n_partitions, "bloom_anti_join[broadcast]")
+    bloom_map = {
+        r["partition_id"]: (r["m"], np.unpackbits(np.frombuffer(r["bitset"], dtype=np.uint8)))
+        for r in bloom_rows
+    }
+    bc = spark.sparkContext.broadcast(bloom_map)
+    n_part_bc = spark.sparkContext.broadcast(n_partitions)
+
+    @F.pandas_udf(BooleanType())
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        bm = bc.value
+        if not bm:
+            return pd.Series(np.zeros(len(h), dtype=bool))
+        hashes = h.to_numpy(dtype=np.int64).view(np.uint64)
+        parts = (h.to_numpy(dtype=np.int64) % n_part_bc.value + n_part_bc.value) % n_part_bc.value
+        out = np.zeros(len(h), dtype=bool)
+        for p in np.unique(parts):
+            if p not in bm:
+                continue
+            m, bits = bm[p]
+            mask = parts == p
+            pos = _probe_positions(hashes[mask], m)
+            out[mask] = bits[pos].all(axis=1)
+        return pd.Series(out)
+
+    return candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
+
+
+def bloom_anti_join(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blooms: DataFrame,
+    hash_col: str = "url_hash",
+    n_partitions: int = 16,
+    mode: str = "copartition",
+) -> DataFrame:
+    """candidates ∖ seen, bloom-accelerated and false-drop-free.
+
+    Plan (mode="copartition", the default and the ONLY design that holds at
+    the 10^10-key design point): candidates are repartitioned by
+    ``pmod(url_hash, P)`` and cogrouped with the blooms table on
+    partition_id, so each task receives its slice of candidates plus the
+    SINGLE bloom row it needs (~6 MB at the design point, see module
+    docstring) and probes it vectorized.  No task ever holds more than its
+    own partition's bitset, and the driver holds none — a collect-all +
+    whole-map broadcast is a 25 GB driver/broadcast memory wall at the
+    design point.  Only the maybe-seen slice (≈ |true hits| + ~1% of the
+    rest) takes the exact anti-join; the definitely-unseen slice passes
+    through.  Probe parallelism equals P, so size P to a small multiple of
+    cluster cores.
+
+    mode="broadcast" keeps the small-state fast path: collect the bitsets
+    once, broadcast, and probe as a shuffle-free column UDF at the
+    candidates' full partitioning.  Valid ONLY while the aggregate bitset
+    bytes are broadcast-sized (local tests, early crawl rounds); it is the
+    caller's opt-in, never the default.
+
+    The build-time/probe-time ``n_partitions`` invariant is validated
+    inside the probe task in copartition mode (a mismatch would silently
+    hash keys to absent partitions → false negatives), so the error
+    surfaces at action time; broadcast mode validates eagerly.
+    """
+    if mode == "broadcast":
+        flagged = _broadcast_flag(candidates, blooms, hash_col, n_partitions)
+    else:
+        flagged = _copartition_flag(candidates, blooms, hash_col, n_partitions)
+    # Persist the flagged frontier: both branches (pass-through and rescue)
+    # consume it, and without a persist the probe + candidate lineage would
+    # be recomputed once per branch (measured ~2x the probe cost per round).
+    # The engine releases it at the end of each round via
+    # release_persisted(); at cluster scale this is the round's shuffle
+    # output staying materialized, which Spark does anyway.
+    flagged = flagged.persist()
     _PERSISTED.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     # no .distinct() on the seen side: a left_anti join is insensitive to
