@@ -353,6 +353,118 @@ def simhash64(
     return base.select("_id", sim.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS → (id, component_id) where
+    component_id = min node id in the component (deterministic canonical
+    representative, independent of iteration schedule).
+
+    The missing last step of the dedup ladder: the sketch tiers emit PAIRS
+    (a~b, b~c), but a keep/drop decision needs CLUSTERS — transitively, a, b
+    and c are one duplicate group with ONE canonical survivor.  (Engine-new
+    surface like the rest of the ladder; the reference's exact-hash
+    first-seen map, 07…ipynb:458, is the degenerate single-edge case.)
+
+    Plan (iterative min-label propagation + pointer jumping):
+      labels(id) := id
+      repeat:  (1) neighbor step — comp(id) = min(comp(id), min over
+                   neighbors comp(nbr)): one join edges⋈labels keyed on the
+                   node id + one min-aggregate;
+               (2) pointer-jump step — comp(id) = comp(comp(id)) (path
+                   halving): one labels⋈labels self-join.
+      until no label changed.
+
+    The neighbor step alone needs O(diameter) rounds; the jump step halves
+    label-chain depth each round, so convergence is O(log n) rounds of
+    constant shuffle count — the standard large-scale CC recipe (the
+    small-star/large-star family).  Per round the shuffles are keyed on
+    node id over (node, label) pairs only — document payloads never enter
+    the loop, and the symmetric edge list is deduped + persisted once.
+    Each round's labels are eagerly ``localCheckpoint``-ed: a plain persist
+    truncates EXECUTION but not the LOGICAL plan, and this loop references
+    ``stepped`` three times per round (twice through the jump self-join),
+    so without lineage truncation the analyzed plan grows ~4^rounds and
+    OOMs the driver within a handful of iterations.  (On a fault-tolerant
+    cluster run, point ``spark.sparkContext.setCheckpointDir`` at durable
+    storage and swap ``localCheckpoint`` for ``checkpoint`` — same
+    truncation, executor-loss-safe.)  Skew note: a mega-component's hub
+    label is a hot reduce key; the min-aggregate is algebraic (map-side
+    partial min), so the hot key arrives pre-combined per map partition.
+
+    Raises after ``max_iters`` non-converged rounds rather than returning
+    partially-propagated labels (a silent wrong canonical id would merge or
+    split dedup groups downstream).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp := comp(comp) (labels is total over the
+        # node set and comp values are node ids, so the lookup always hits)
+        jump = (
+            stepped.select(F.col("comp").alias("jid"))
+            .distinct()
+            .join(
+                stepped.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp")),
+                "jid",
+            )
+        )
+        # eager localCheckpoint truncates the logical plan each round (see
+        # docstring: the plan otherwise grows ~4^rounds through stepped)
+        new_labels = (
+            stepped.join(jump, stepped["comp"] == jump["jid"], "left")
+            .select(
+                "id",
+                F.coalesce("jcomp", F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "pointer jumping bounds rounds at O(log n), so this indicates a "
+        "pathological input (or max_iters set too low for its size)"
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -147,6 +147,14 @@ class CrawlConfig:
     # P=128 made the co-partitioned probe FASTER than the broadcast path.
     bloom_partitions: int = 64
     seen_buckets: int = 32  # bucket count of the catalog-bucketed seen store
+    # Compact (rewrite) the seen store after this many per-round appends:
+    # each append adds <= seen_buckets files, and a scan must list/open every
+    # file of its bucket — unbounded appends turn the zero-Exchange join into
+    # a small-file wall over a long crawl.  Rewriting every K rounds costs
+    # O(|seen|) each time, so K trades append amplification (|seen| * rounds
+    # / K total rewrite bytes) against per-round file count (<= K *
+    # seen_buckets).  64 keeps both negligible at the design point.
+    seen_compact_rounds: int = 64
     host_salt: int = 8  # salt fan-out for the hot-host fetch repartition
     fetch_partitions: int = 16
     politeness_salts: int = 8  # parallel sub-queues per host (see politeness_slots)
@@ -280,6 +288,7 @@ class CrawlEngine:
         self._seen_table = "seen_store_" + hashlib.md5(
             os.path.abspath(ckpt_dir).encode()
         ).hexdigest()[:12]
+        self._seen_appends = 0  # appends since the last rebuild/compaction
 
     # ------------------------------------------------------------------ state
     def _round_dir(self, rnd: int) -> str:
@@ -393,17 +402,36 @@ class CrawlEngine:
         bucketing.write_bucketed(
             seen, self._seen_table, "url_hash", n_buckets=self.cfg.seen_buckets
         )
+        self._seen_appends = 0
         return self.spark.table(self._seen_table)
 
     def _append_seen_store(self, rnd: int) -> DataFrame:
         """Append round ``rnd``'s COMMITTED seen delta (read back from the
-        checkpoint, not recomputed from lineage) into the bucketed store."""
+        checkpoint, not recomputed from lineage) into the bucketed store.
+
+        Every ``cfg.seen_compact_rounds`` appends the store is compacted — a
+        full rewrite from the committed deltas (NOT from the table being
+        replaced, so the DROP inside the rebuild can never pull the rug from
+        under its own input plan).  Each append adds up to seen_buckets
+        files; without compaction a long crawl's store degrades into a
+        small-file listing wall.  Crash-safety is inherited: the store is a
+        derived accelerator rebuilt from committed deltas at every run
+        start, so a crash mid-compaction costs nothing."""
         delta = self.spark.read.schema(_APPEND_SCHEMAS["seen"]).parquet(
             os.path.join(self._round_dir(rnd), "seen_delta")
         )
         delta.write.mode("append").bucketBy(
             self.cfg.seen_buckets, "url_hash"
         ).sortBy("url_hash").saveAsTable(self._seen_table)
+        self._seen_appends += 1
+        if self._seen_appends >= self.cfg.seen_compact_rounds:
+            full = self.spark.read.schema(_APPEND_SCHEMAS["seen"]).parquet(
+                *[
+                    os.path.join(self._round_dir(r), "seen_delta")
+                    for r in self._committed_rounds(rnd)
+                ]
+            )
+            return self._rebuild_seen_store(full)
         return self.spark.table(self._seen_table)
 
     # ------------------------------------------------------------------- run

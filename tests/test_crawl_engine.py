@@ -521,3 +521,41 @@ def test_seen_store_rebuilt_on_resume_drops_phantom_rows(spark, tmp_path):
     assert store.filter(F.col("url_hash") == 987654321012345678).count() == 0
     seen = sorted(r["url_hash"] for r in out["state"]["seen"].collect())
     assert sorted(r["url_hash"] for r in store.collect()) == seen
+
+
+def test_seen_store_compaction_preserves_content_and_bounds_files(spark, tmp_path):
+    """With seen_compact_rounds=2 a multi-round run must rewrite the store
+    periodically: contents stay exactly the committed seen set, and the
+    table's file count is bounded by (appends since last compaction + 1) x
+    seen_buckets instead of growing with every round of the whole crawl."""
+    import os as _os
+
+    ckpt = str(tmp_path / "ckpt_compact")
+    cfg = CrawlConfig(
+        **{**CFG.__dict__, "max_rounds": 5, "seen_compact_rounds": 2,
+           "seen_buckets": 4}
+    )
+    engine = CrawlEngine(spark, ckpt, cfg)
+    out = engine.run(seed_urls=synthetic.seed_urls(100))
+    n_rounds = len(out["metrics"])
+    assert n_rounds >= 3, "need enough rounds to cross the compaction point"
+
+    store = spark.table(engine._seen_table)
+    seen = sorted(r["url_hash"] for r in out["state"]["seen"].collect())
+    assert sorted(r["url_hash"] for r in store.collect()) == seen
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {engine._seen_table}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+    n_files = sum(
+        1 for f in _os.listdir(loc) if f.endswith(".parquet")
+    )
+    # without compaction: n_rounds appends + initial rebuild, each up to
+    # seen_buckets files; with compact_rounds=2 at most 2 append layers
+    # survive on top of the last compacted base
+    assert n_files <= 3 * cfg.seen_buckets, (
+        f"{n_files} files — compaction did not bound the store"
+    )
+    assert engine._seen_appends < n_rounds, "compaction never triggered"

@@ -154,3 +154,61 @@ def test_stop_shingle_cap_bounds_join_keeps_neardups(spark):
         b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id"))
     ).count()
     assert n_uncapped > 1800  # 62*61/2 from the hot shingle alone
+
+
+def _uf_components(n_ids, pairs):
+    """Pure-Python union-find reference: {id: min id in its component}."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_connected_components_chain_transitivity(spark):
+    """a~b, b~c, c~d is ONE group rooted at the min id, even though a and d
+    never share a pair."""
+    pairs = spark.createDataFrame(
+        [(2, 4), (4, 1), (1, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Property check: random sparse graphs agree with a pure-Python
+    union-find, including star/chain/cycle shapes the generator produces."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(3):
+        n = 120
+        ids = list(range(1000, 1000 + n))
+        edges = [
+            tuple(rng.sample(ids, 2)) for _ in range(rng.randint(40, 160))
+        ]
+        expect = _uf_components(
+            sorted({x for e in edges for x in e}), edges
+        )
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expect, f"trial {trial} diverged from union-find"
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
