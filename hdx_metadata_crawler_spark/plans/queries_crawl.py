@@ -162,13 +162,13 @@ from ..operators.dedup import MD5_HASH60_SQL as _H60  # noqa: E402
     """,
     doc="Frontier partition-balance diagnostics: docs per hash-mod-32 "
         "partition under BOTH keys — host-only (the skewed control: the hot "
-        "host lands in ONE partition) and host+salt (the engine's fetch "
-        "key) — so the skew the salting breaks is visible in one output "
-        "(north rule skew handling). Keyed on the portable md5-derived "
-        "60-bit hash so DuckDB recomputes every partition assignment "
-        "(round-2 no_oracle row converted; the production fetch repartition "
-        "keeps xxhash64 — the balance property is hash-agnostic, asserted "
-        "quantitatively in tests/test_crawl_engine.py).",
+        "host lands in ONE partition) and host+salt — so the hot-host skew "
+        "is visible in one output (north rule skew handling). Keyed on the "
+        "portable md5-derived 60-bit hash so DuckDB recomputes every "
+        "partition assignment (round-2 no_oracle row converted). Round 4 "
+        "note: the production fetch stage now round-robins (max/mean 1.002; "
+        "hashed salting measured 3.30 — see frontier.py step 4); this query "
+        "remains the diagnostic that quantifies why.",
 )
 def host_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_hash60

@@ -155,7 +155,8 @@ class CrawlConfig:
     # / K total rewrite bytes) against per-round file count (<= K *
     # seen_buckets).  64 keeps both negligible at the design point.
     seen_compact_rounds: int = 64
-    host_salt: int = 8  # salt fan-out for the hot-host fetch repartition
+    # (host_salt removed round 4: the fetch stage round-robins — politeness
+    # lives in time_slot, and salted host-hash partitioning measurably skewed)
     fetch_partitions: int = 16
     politeness_salts: int = 8  # parallel sub-queues per host (see politeness_slots)
     respect_robots: bool = True  # robots.txt disallow + crawl-delay budgets
@@ -196,8 +197,16 @@ def politeness_slots(
     if rps_col is None:
         rps_col = F.lit(float(rps))
     w = Window.partitionBy("host", "salt").orderBy("priority", "canon_url")
+    # Explicit repartition on the window keys with an explicit partition
+    # count: the window's own Exchange satisfies the same distribution, but
+    # AQE coalesces it by size (~64 MB advisory), which collapses a
+    # million-row page's sort onto 1-2 tasks (measured ~1 s serialized at
+    # 280k rows).  An explicit count is exempt from AQE coalescing, so the
+    # per-sub-queue sorts keep full parallelism at every page size.
+    n_shuffle = int(page.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         page.withColumn("salt", salt)
+        .repartition(n_shuffle, "host", "salt")
         .withColumn(
             "time_slot",
             F.floor(
@@ -582,17 +591,25 @@ class CrawlEngine:
             if rps_col is not None:
                 scheduled = scheduled.drop("_rps_host")
 
-            # 4. fetch over salted host-hash partitions (skew-broken).
+            # 4. fetch over round-robin partitions (balanced by
+            # construction).  Politeness is fully encoded in time_slot by
+            # this point, so partitioning is purely a load-balancing choice:
+            # the earlier (host, url_hash % host_salt) hash partitioning put
+            # 70%-hot-host traffic behind ~host_salt keys hashed into
+            # n_fetch bins — balls-into-bins gave some tasks 3x the mean
+            # (measured max/mean 3.30 at 64 salts / 128 tasks), a straggler
+            # tail that costs ~25% of 4N-core scaling efficiency while
+            # N-core runs amortize it over more waves.  RoundRobin gets
+            # max/mean 1.002.  (A connection-pooling fetcher that wants
+            # host affinity should group WITHIN a partition — pandas
+            # groupby inside the batch — not skew the partitioning.)
             # Partition count adapts to the page: retry-tail rounds with a
             # handful of URLs would otherwise spin up cfg.fetch_partitions
             # Python workers for nothing (~2.5 s fixed cost per near-empty
             # round, measured); n_page is already known from the page count.
             n_fetch = max(1, min(cfg.fetch_partitions, (n_page + 63) // 64))
             fetched = (
-                scheduled.repartition(
-                    n_fetch,
-                    F.xxhash64("host", F.pmod("url_hash", F.lit(cfg.host_salt))),
-                )
+                scheduled.repartition(n_fetch)
                 .mapInPandas(_fetch_batches, _FETCH_SCHEMA)
                 .withColumn("round", F.lit(rnd))
                 .cache()

@@ -217,6 +217,39 @@ def test_salted_partitioning_breaks_hot_host_skew(spark):
     )
     assert max_share(unsalted) >= 0.70, "control: hot host dominates one partition"
     assert max_share(salted) <= 0.12, "salted: max partition near ideal 1/32 share"
+    # the engine's actual fetch partitioning (round-robin, frontier.py step
+    # 4): balanced by construction, strictly tighter than any hashed salting
+    assert max_share(urls.repartition(n_parts)) <= 1.05 / n_parts, (
+        "round-robin: every partition within 5% of the ideal share"
+    )
+
+
+def test_politeness_window_keeps_full_parallelism(spark):
+    """politeness_slots must sort its per-(host, salt) sub-queues across all
+    shuffle partitions: AQE's size-based coalescing used to collapse the
+    window's Exchange onto 1-2 tasks (advisory 64 MB >> a realistic page's
+    bytes), serializing the hot path.  The explicit repartition with an
+    explicit count is exempt from coalescing."""
+    from pyspark.sql import functions as F
+
+    from hdx_metadata_crawler_spark.streaming.frontier import politeness_slots
+
+    page = spark.createDataFrame(
+        [(u,) for u in synthetic.seed_urls(4000)], ["canon_url"]
+    ).select(
+        "canon_url",
+        F.regexp_extract("canon_url", r"^https?://([^/]+)", 1).alias("host"),
+        F.lit(0).alias("priority"),
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    scheduled = politeness_slots(page, rps=2.0, n_salts=64)
+    n_parts_used = (
+        scheduled.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts_used == n_shuffle, (
+        f"window ran on {n_parts_used}/{n_shuffle} partitions — the sort "
+        "got coalesced"
+    )
 
 
 def test_bloom_no_false_drops(spark):

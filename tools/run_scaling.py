@@ -4,12 +4,16 @@
 processes (fresh JVM each, same input), computes the scaling efficiency,
 and writes BENCH_SCALING.json at the repo root.
 
-Usage: python tools/run_scaling.py [--n 4] [--n-urls 400000] [--body-scale 16]
+Usage: python tools/run_scaling.py [--n 8] [--n-urls 800000] [--body-scale 64]
 
-N defaults to 4 (4 -> 16 cores): on this host, concurrency itself degrades
-per-core speed ~28% at full width, so 8 -> 32 cannot evidence >= 0.8 for
-ANY job (see BASELINE.md host calibration); 4 -> 16 sits in the linear
-regime.
+N defaults to 8 (8 -> 32 cores).  The shared host's occupancy curve moves
+between rounds: round 3 measured a ~28% per-core penalty at full width
+(4 -> 16 was the linear regime then); round 4 re-measured the curve and
+found the penalty gone at 8 -> 32 (pure-CPU sha256 efficiency 0.90) while
+1-4 busy cores now sit in a ~35% turbo zone that caps ANY 4 -> 16
+measurement near 0.70.  Calibrate against the CPU ceiling (the inline
+sha256 probe below) before trusting a pass/fail; the job cannot out-scale
+the host.
 """
 
 from __future__ import annotations
@@ -21,6 +25,42 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sha_chain(_):
+    """Module-level so ProcessPoolExecutor can pickle it."""
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(500_000):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def cpu_ceiling(n: int) -> dict:
+    """Pure-CPU host ceiling: sha256 chains at N vs 4N worker processes,
+    equal tasks PER CORE, so wall_N / wall_4N == scaling efficiency of the
+    host itself.  No Spark, no I/O — any job's N->4N efficiency is bounded
+    above by this number, and on this shared VM it moves between rounds
+    (measured 0.68-0.91), so it is recorded next to every measurement."""
+    import time
+    from concurrent.futures import ProcessPoolExecutor
+
+    work = _sha_chain
+
+    def run(workers: int) -> float:
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(work, range(workers)))  # warm the pool
+            t0 = time.time()
+            list(ex.map(work, range(workers * 8)))
+            return time.time() - t0
+
+    w_n, w_4n = run(n), run(n * 4)
+    return {
+        "wall_n": round(w_n, 2),
+        "wall_4n": round(w_4n, 2),
+        "efficiency": round(w_n / w_4n, 3),
+    }
 
 
 def run_level(cores: int, n_urls: int, body_scale: int) -> dict:
@@ -38,12 +78,15 @@ def run_level(cores: int, n_urls: int, body_scale: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=4, help="small cluster size N (large is 4N)")
+    ap.add_argument("--n", type=int, default=8, help="small cluster size N (large is 4N)")
     # Defaults are the load-robust protocol: body-scale 64 (~250 KB bodies,
     # top of the reference dump's 10-200 KB range) keeps the parallel work
-    # dominant over contention-sensitive fixed overheads — measured 0.833
-    # efficiency on a visibly contended host where body-scale 32 read 0.68-0.75.
-    ap.add_argument("--n-urls", type=int, default=200_000)
+    # dominant over contention-sensitive fixed overheads, and 800k URLs
+    # amortize the ~3 s of per-round constants (probe cogroup, politeness
+    # shuffle, parquet commit) that otherwise cost ~6 points of efficiency
+    # at the 4N level (Amdahl: the constant is 10% of a 30 s wall but 2%
+    # of a 110 s wall).
+    ap.add_argument("--n-urls", type=int, default=800_000)
     ap.add_argument("--body-scale", type=int, default=64)
     ap.add_argument(
         "--trials", type=int, default=3,
@@ -52,6 +95,7 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    ceiling = cpu_ceiling(args.n)
     smalls = [run_level(args.n, args.n_urls, args.body_scale) for _ in range(args.trials)]
     larges = [run_level(args.n * 4, args.n_urls, args.body_scale) for _ in range(args.trials)]
     small = min(smalls, key=lambda r: r["wall_sec"])
@@ -71,6 +115,7 @@ def main() -> int:
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / 4, 3),
         "passes_0.8": speedup / 4 >= 0.8,
+        "host_cpu_ceiling": ceiling,
     }
     path = os.path.join(REPO, "BENCH_SCALING.json")
     with open(path, "w") as f:
