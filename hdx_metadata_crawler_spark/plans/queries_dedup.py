@@ -280,10 +280,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "neardup_components",
-    f"""
-    WITH RECURSIVE {_simhash_oracle_cte()},
+def _components_oracle_ctes() -> str:
+    """Transitive-closure CTE chain shared by the cluster/keep-list oracles
+    (single source of truth per the oracle-parity rules): brute-force
+    hamming<=3 pairs over the simhash fingerprints, symmetrize, close with
+    a recursive reachability CTE, take min-id per node as the component."""
+    return f"""{_simhash_oracle_cte()},
     prs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM fps a JOIN fps b ON a.doc_id < b.doc_id
@@ -299,7 +301,23 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT reach.id, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
     ),
-    comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id),
+    comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id)"""
+
+
+def _simhash_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark side of the cluster/keep-list queries: simhash pair tier
+    -> connected-components labels (id, comp)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = dedup.simhash_hamming_pairs(
+        d, "doc_id", "text", max_distance=3, hash_fn=dedup.md5_hash60
+    )
+    return dedup.connected_components(pairs)
+
+
+@register(
+    "neardup_components",
+    f"""
+    WITH RECURSIVE {_components_oracle_ctes()},
     sizes AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
     SELECT c.doc_id, c.component_id, s.n_members,
            c.doc_id = c.component_id AS is_canonical
@@ -318,15 +336,44 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixpoint (schedule-independent: component_id = min node id).",
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    pairs = dedup.simhash_hamming_pairs(
-        d, "doc_id", "text", max_distance=3, hash_fn=dedup.md5_hash60
-    )
-    labels = dedup.connected_components(pairs)
+    labels = _simhash_component_labels(spark, sf_dir)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
     return labels.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("component_id"),
         "n_members",
         (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+@register(
+    "dedup_keep_list",
+    f"""
+    WITH RECURSIVE {_components_oracle_ctes()},
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+    SELECT d.doc_id, d.source, d.lang, length(coalesce(d.text, '')) AS text_len
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+    doc="The dedup ladder's terminal output — the KEEP LIST: the corpus "
+        "minus every non-canonical member of a near-dup cluster (one "
+        "survivor per transitive group, the min doc_id).  This is the "
+        "operation a training-data pipeline actually runs at 100 TB: "
+        "sketch (map-only) -> banded pairs (bucket shuffle) -> components "
+        "((node,label)-only iterations) -> one left_anti join back to the "
+        "corpus, streamed — no driver materialization anywhere.  Oracle "
+        "recomputes the closure brute-force and NOT-IN-filters, so the "
+        "value hash pins both the cluster math AND the survivor policy.",
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _simhash_component_labels(spark, sf_dir)
+    dropped = labels.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.join(dropped, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length(F.coalesce("text", F.lit(""))).alias("text_len"),
     )

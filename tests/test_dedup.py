@@ -173,6 +173,32 @@ def _uf_components(n_ids, pairs):
     return {i: find(i) for i in n_ids}
 
 
+def test_keep_list_partitions_corpus(spark):
+    """keep list + dropped docs == the whole corpus, with EXACTLY one
+    survivor per component (the min id)."""
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        dedup_keep_list,
+        neardup_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comps = neardup_components(spark, sf).collect()
+    kept = {r["doc_id"] for r in dedup_keep_list(spark, sf).collect()}
+    all_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").select("doc_id").collect()
+    }
+    by_comp = {}
+    for r in comps:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for cid, members in by_comp.items():
+        survivors = [m["doc_id"] for m in members if m["doc_id"] in kept]
+        assert survivors == [min(m["doc_id"] for m in members)] == [cid]
+    clustered = {r["doc_id"] for r in comps}
+    assert kept | (clustered - kept) == (all_docs - clustered) | clustered
+    assert all_docs - clustered <= kept  # unclustered docs all survive
+
+
 def test_connected_components_chain_transitivity(spark):
     """a~b, b~c, c~d is ONE group rooted at the min id, even though a and d
     never share a pair."""
