@@ -99,6 +99,9 @@ _PRIORITY_NAMES = [
     "media_features",
     "frame_offsets",
     "media_kind_stats",
+    # round-4 dedup flagship (clusters + keep list)
+    "neardup_components",
+    "dedup_keep_list",
 ]
 
 
