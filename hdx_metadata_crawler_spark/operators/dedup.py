@@ -458,6 +458,7 @@ def connected_components(
         if changed == 0:
             sym.unpersist()
             return labels
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "pointer jumping bounds rounds at O(log n), so this indicates a "
