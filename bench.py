@@ -86,8 +86,10 @@ HEADLINE = [
     "media_fetch_schedule",
     "stream_span_ingest",
     "stream_media_firstseen",
-    # round 4: near-dup clustering (pairs -> transitive components)
+    # round 4: near-dup clustering (pairs -> transitive components) and the
+    # ladder's terminal keep-list (corpus minus non-canonical members)
     "neardup_components",
+    "dedup_keep_list",
 ]
 
 
