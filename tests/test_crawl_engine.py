@@ -592,3 +592,29 @@ def test_seen_store_compaction_preserves_content_and_bounds_files(spark, tmp_pat
         f"{n_files} files — compaction did not bound the store"
     )
     assert engine._seen_appends < n_rounds, "compaction never triggered"
+
+
+def test_seen_store_orphan_warehouse_dir_is_cleared(spark, tmp_path):
+    """A killed run's JVM takes the in-memory catalog with it but leaves the
+    seen-store table directory in the warehouse.  To the next session that
+    orphan is invisible to DROP TABLE IF EXISTS yet makes saveAsTable fail
+    with LOCATION_ALREADY_EXISTS — a fresh (or resumed) run over the same
+    checkpoint path must clear the unregistered location and proceed."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    ckpt = str(tmp_path / "ckpt_orphan")
+    cfg = CrawlConfig(**{**CFG.__dict__, "max_rounds": 1})
+    engine = CrawlEngine(spark, ckpt, cfg)
+    # plant the orphan: directory exists in the warehouse, catalog entry
+    # does not (exactly the debris a killed JVM leaves behind)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = _os.path.join(wh, engine._seen_table.lower())
+    _os.makedirs(_os.path.join(orphan, "debris"), exist_ok=True)
+    spark.sql(f"DROP TABLE IF EXISTS {engine._seen_table}")
+
+    out = engine.run(seed_urls=synthetic.seed_urls(40))
+    store = spark.table(engine._seen_table)
+    seen = sorted(r["url_hash"] for r in out["state"]["seen"].collect())
+    assert sorted(r["url_hash"] for r in store.collect()) == seen
+    assert len(seen) > 0
