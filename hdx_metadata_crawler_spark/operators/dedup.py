@@ -358,6 +358,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    rows_per_partition: int = 500_000,
 ) -> DataFrame:
     """Connected components over near-dup PAIRS → (id, component_id) where
     component_id = min node id in the component (deterministic canonical
@@ -395,10 +396,29 @@ def connected_components(
     label is a hot reduce key; the min-aggregate is algebraic (map-side
     partial min), so the hot key arrives pre-combined per map partition.
 
+    Cost shape (profiled at sf0.1: 271k pairs / 2.8k nodes / 5 rounds):
+    the loop is task-overhead bound, not data bound, so the shuffle width
+    is sized to the EDGE COUNT (``rows_per_partition``, capped at the
+    session's ``spark.sql.shuffle.partitions``) instead of inheriting the
+    session width — 32 partitions of ~100 rows each cost more in task
+    launches than they save in parallelism.  The adjacency is repartitioned
+    once on the probe key (``dst``) at that width so the per-round
+    neighbor join reuses its layout without a fresh Exchange, and the
+    convergence check reads a ``_prev`` column carried INTO the round's
+    checkpoint (labels vs the previous round) rather than re-joining the
+    two label snapshots — one tiny count on checkpointed data per round.
+    The convergence test must compare against the PREVIOUS ROUND's labels,
+    not the intra-round pre-jump labels: on a star a–hub, b–hub with
+    id(hub) > id(a) > id(b), round 1's neighbor step relabels only the hub
+    and the jump is the identity, so a post-jump-vs-pre-jump check would
+    terminate with a and b still in singleton components
+    (``tests/test_dedup.py::test_connected_components_star_premature``).
+
     Raises after ``max_iters`` non-converged rounds rather than returning
     partially-propagated labels (a silent wrong canonical id would merge or
     split dedup groups downstream).
     """
+    spark = pairs.sparkSession
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = (
         edges.unionByName(
@@ -407,63 +427,69 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-            )
-        )
-        # pointer jumping: comp := comp(comp) (labels is total over the
-        # node set and comp values are node ids, so the lookup always hits)
-        jump = (
-            stepped.select(F.col("comp").alias("jid"))
+    # one action against the (possibly expensive) upstream pair pipeline:
+    # everything below reads the persisted symmetric edge list
+    n_edges = sym.count()
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(1, min(base_parts, -(-n_edges // rows_per_partition)))
+    adj = sym.repartition(n_parts, "dst").persist()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        labels = (
+            adj.select(F.col("src").alias("id"))
             .distinct()
-            .join(
-                stepped.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp")),
-                "jid",
-            )
-        )
-        # eager localCheckpoint truncates the logical plan each round (see
-        # docstring: the plan otherwise grows ~4^rounds through stepped)
-        new_labels = (
-            stepped.join(jump, stepped["comp"] == jump["jid"], "left")
-            .select(
-                "id",
-                F.coalesce("jcomp", F.col("comp")).alias("comp"),
-            )
+            .select("id", F.col("id").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        sym.unpersist()
+        for _ in range(max_iters):
+            nbr_min = (
+                adj.join(labels, adj["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    ).alias("comp"),
+                    labels["comp"].alias("_prev"),
+                )
+                .persist()
+            )
+            # pointer jumping: comp := comp(comp) (labels is total over the
+            # node set and comp values are node ids, so the lookup always
+            # hits; left join keeps the row when comp == id)
+            mapping = stepped.select(
+                F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+            )
+            # eager localCheckpoint truncates the logical plan each round
+            # (see docstring: the plan otherwise grows ~4^rounds)
+            new_labels = (
+                stepped.join(mapping, stepped["comp"] == mapping["jid"], "left")
+                .select(
+                    "id",
+                    F.coalesce("jcomp", F.col("comp")).alias("comp"),
+                    "_prev",
+                )
+                .localCheckpoint(eager=True)
+            )
+            stepped.unpersist()
+            changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
+            labels = new_labels.select("id", "comp")
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "pointer jumping bounds rounds at O(log n), so this indicates a "
+            "pathological input (or max_iters set too low for its size)"
         )
-        labels = new_labels
-        if changed == 0:
-            sym.unpersist()
-            return labels
-    sym.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds — "
-        "pointer jumping bounds rounds at O(log n), so this indicates a "
-        "pathological input (or max_iters set too low for its size)"
-    )
+    finally:
+        sym.unpersist()
+        adj.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -235,6 +235,20 @@ def test_connected_components_random_graph_matches_union_find(spark):
         assert got == expect, f"trial {trial} diverged from union-find"
 
 
+def test_connected_components_star_premature(spark):
+    """Star with the HUB as the max id: round 1's neighbor step relabels only
+    the hub (leaves keep their own smaller ids) and the pointer jump is the
+    identity, so a convergence check that compares post-jump vs pre-jump
+    labels WITHIN the round (instead of vs the previous round) terminates
+    one round early with the leaves still in singleton components."""
+    pairs = spark.createDataFrame([(10, 3), (10, 2)], ["id_a", "id_b"])
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {2: 2, 3: 2, 10: 2}
+
+
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(pairs).count() == 0
