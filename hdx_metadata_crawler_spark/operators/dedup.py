@@ -575,3 +575,104 @@ def simhash_hamming_pairs(
     return candidates.filter(
         F.col("hamming") <= max_distance
     ).dropDuplicates(["id_a", "id_b"])
+
+
+def ngram_grams(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram array WITH multiplicity (no array_distinct) — same
+    tokenization + short-doc fallback as ``shingles`` so repetition scores
+    and set-semantics sketches stay mutually comparable."""
+    toks = tokenize(F.coalesce(text_col, F.lit("")))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition via n-gram multiplicity — the quality
+    filter a training-data pipeline runs BEFORE cross-doc dedup (boilerplate
+    and generator loops repeat phrases inside one document; cross-doc
+    sketches never see that).
+
+    Per doc: total n-grams, distinct n-grams, repeated fraction in integer
+    BASIS POINTS (``(total - distinct) * 10000 div total`` — exact integer
+    arithmetic on both engines; a double ratio rounds exact halves in
+    opposite directions, CLAUDE.md math rule), and the hottest gram's
+    multiplicity.
+
+    Plan: explode grams → (doc, gram) count with map-side partial
+    aggregation → per-doc re-aggregate.  Both shuffles carry (id, gram
+    hash-sized) rows only; at 100 TB hash the gram to a 64-bit digest first
+    so the shuffle never carries text (same digest-first note as
+    ``exact_dedup``).
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngram_grams(F.col(text_col), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("_id", "gram").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct_grams"),
+        F.expr("CAST(div((sum(c) - count(*)) * 10000, sum(c)) AS BIGINT)").alias(
+            "rep_bp"
+        ),
+        F.max("c").alias("top_gram_count"),
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its distinct
+    word n-grams appear ANYWHERE in the eval set (the overlap test used to
+    strip benchmark leakage from training corpora).
+
+    Returns (id, n_shingles, n_overlap, contam_bp, contaminated) for EVERY
+    corpus doc — zero-overlap docs included, so the output is the full
+    keep/drop worksheet, not just the hits.
+
+    Plan: the eval side is a benchmark suite — tiny and fixed relative to a
+    100 TB corpus — so its distinct shingle dictionary is broadcast and the
+    corpus-side inverted index joins it with no corpus shuffle; the only
+    shuffle is the per-doc hit count (map-side combined).  The corpus doc
+    list + shingle counts come from the same projection, so the source scan
+    is shared, and the overlap fraction is emitted in exact integer basis
+    points (see ``repetition_scores``).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    eval_sh = (
+        eval_set.select(
+            F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    idx = base.select("_id", F.explode("sh").alias("shingle"))
+    hits = (
+        idx.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        base.select("_id", F.size("sh").cast("long").alias("n_shingles"))
+        .join(hits, "_id", "left")
+        .select(
+            "_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                "CAST(div(coalesce(n_overlap, 0) * 10000, n_shingles) AS BIGINT)"
+            ).alias("contam_bp"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -377,3 +377,106 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.length(F.coalesce("text", F.lit(""))).alias("text_len"),
     )
+
+
+@register(
+    "doc_repetition_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS gram
+      FROM toks
+    ),
+    cnts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           count(*) AS n_distinct_grams,
+           CAST((sum(c) - count(*)) * 10000 // sum(c) AS BIGINT) AS rep_bp,
+           CAST(max(c) AS BIGINT) AS top_gram_count
+    FROM cnts GROUP BY doc_id
+    """,
+    doc="Intra-document repetition scoring over token 3-grams WITH "
+        "multiplicity (boilerplate / generator-loop quality filter — the "
+        "check a training pipeline runs BEFORE cross-doc dedup, which only "
+        "sees distinct shingles). Repeated fraction emitted in exact "
+        "integer basis points so both engines agree on halves "
+        "(operators/dedup.py repetition_scores).",
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return dedup.repetition_scores(d, "doc_id", "text", n=3).select(
+        F.col("_id").alias("doc_id"),
+        "n_grams",
+        "n_distinct_grams",
+        "rep_bp",
+        "top_gram_count",
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 5 THEN
+               list_distinct(list_transform(range(1, len(toks) - 3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4]))
+             ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+            FROM documents)
+    ),
+    flagged AS (
+      SELECT doc_id, shingles,
+             ({dedup.MD5_BASE28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 20 = 0) AS is_eval
+      FROM sh
+    ),
+    eval_sh AS (SELECT DISTINCT unnest(shingles) AS shingle FROM flagged WHERE is_eval),
+    corpus AS (SELECT doc_id, shingles FROM flagged WHERE NOT is_eval),
+    idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM corpus),
+    hits AS (
+      SELECT idx.doc_id, count(*) AS n_overlap
+      FROM idx JOIN eval_sh USING (shingle)
+      GROUP BY idx.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.shingles) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(h.n_overlap, 0) * 10000 // len(c.shingles) AS BIGINT) AS contam_bp,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+    doc="Benchmark decontamination: per corpus doc, distinct word 5-grams "
+        "shared with a held-out eval split (portable md5 1-in-20 doc "
+        "split), zero-overlap docs included — the leakage worksheet a "
+        "training pipeline strips benchmarks with. Eval shingle dictionary "
+        "is broadcast (benchmarks are tiny vs a 100 TB corpus); the only "
+        "corpus shuffle is the map-side-combined per-doc hit count "
+        "(operators/dedup.py ngram_decontaminate).",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    # explicit string cast: md5 over a BIGINT would digest the 8-byte
+    # binary form in Spark but the rendered decimal in DuckDB
+    is_eval = dedup.md5_base28(F.col("doc_id").cast("string")) % 20 == 0
+    out = dedup.ngram_decontaminate(
+        d.filter(~is_eval), d.filter(is_eval), "doc_id", "text", n=5
+    )
+    return out.select(
+        F.col("_id").alias("doc_id"),
+        "n_shingles",
+        "n_overlap",
+        "contam_bp",
+        "contaminated",
+    )

@@ -102,6 +102,9 @@ _PRIORITY_NAMES = [
     # round-4 dedup flagship (clusters + keep list)
     "neardup_components",
     "dedup_keep_list",
+    # round-4 quality flagship (repetition + benchmark leakage)
+    "doc_repetition_score",
+    "benchmark_decontamination",
 ]
 
 

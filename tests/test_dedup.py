@@ -252,3 +252,51 @@ def test_connected_components_star_premature(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_repetition_scores_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b c a b c a b c"),  # 7 grams, 3 distinct, top 3
+            ("d2", "x y z w v u"),        # 4 grams, all distinct
+            ("d3", None),                 # NULL text -> single '' gram
+            ("d4", "q r"),                # short doc -> single joined gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["_id"]: (r["n_grams"], r["n_distinct_grams"], r["rep_bp"], r["top_gram_count"])
+        for r in dedup.repetition_scores(docs, "doc_id", "text", n=3).collect()
+    }
+    assert got == {
+        "d1": (7, 3, (7 - 3) * 10000 // 7, 3),
+        "d2": (4, 4, 0, 1),
+        "d3": (1, 1, 0, 1),
+        "d4": (1, 1, 0, 1),
+    }
+
+
+def test_ngram_decontaminate_overlap_and_zero_rows(spark):
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "a b c d e f"),   # shares 'a b c' with eval
+            ("c2", "u v w x y z"),   # no overlap — must still appear
+            ("c3", None),            # NULL text -> '' shingle, no eval match
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame(
+        [("e1", "a b c q q q"), ("e2", "m n o")], ["doc_id", "text"]
+    )
+    got = {
+        r["_id"]: (r["n_shingles"], r["n_overlap"], r["contam_bp"], r["contaminated"])
+        for r in dedup.ngram_decontaminate(
+            corpus, eval_set, "doc_id", "text", n=3
+        ).collect()
+    }
+    # c1 shingles: 'a b c','b c d','c d e','d e f'; eval has 'a b c'
+    assert got == {
+        "c1": (4, 1, 10000 // 4, True),
+        "c2": (4, 0, 0, False),
+        "c3": (1, 0, 0, False),
+    }
