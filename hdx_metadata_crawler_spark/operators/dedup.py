@@ -641,38 +641,35 @@ def ngram_decontaminate(
 
     Plan: the eval side is a benchmark suite — tiny and fixed relative to a
     100 TB corpus — so its distinct shingle dictionary is broadcast and the
-    corpus-side inverted index joins it with no corpus shuffle; the only
-    shuffle is the per-doc hit count (map-side combined).  The corpus doc
-    list + shingle counts come from the same projection, so the source scan
-    is shared, and the overlap fraction is emitted in exact integer basis
-    points (see ``repetition_scores``).
+    corpus-side inverted index LEFT-joins it with a hit marker; one
+    downstream per-doc aggregate then yields BOTH the shingle count
+    (``count(*)``) and the overlap count (``count(hit)``, nulls skipped) —
+    a single corpus scan and a single map-side-combined shuffle, no second
+    pass to fetch per-doc sizes.  Every doc emits >= 1 shingle (the
+    short-doc fallback), so zero-overlap docs survive the aggregate and
+    the output stays the complete worksheet.  The overlap fraction is
+    emitted in exact integer basis points (see ``repetition_scores``).
     """
-    base = corpus.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    )
     eval_sh = (
         eval_set.select(
             F.explode(shingles(F.col(text_col), n)).alias("shingle")
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    idx = base.select("_id", F.explode("sh").alias("shingle"))
-    hits = (
-        idx.join(F.broadcast(eval_sh), "shingle")
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_overlap"))
+    idx = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
     return (
-        base.select("_id", F.size("sh").cast("long").alias("n_shingles"))
-        .join(hits, "_id", "left")
-        .select(
-            "_id",
-            "n_shingles",
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        idx.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
             F.expr(
-                "CAST(div(coalesce(n_overlap, 0) * 10000, n_shingles) AS BIGINT)"
+                "CAST(div(count(_hit) * 10000, count(*)) AS BIGINT)"
             ).alias("contam_bp"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+            (F.count("_hit") > 0).alias("contaminated"),
         )
     )
