@@ -90,6 +90,9 @@ HEADLINE = [
     # ladder's terminal keep-list (corpus minus non-canonical members)
     "neardup_components",
     "dedup_keep_list",
+    # round 4: intra-doc repetition scoring + benchmark decontamination
+    "doc_repetition_score",
+    "benchmark_decontamination",
 ]
 
 
