@@ -90,9 +90,11 @@ HEADLINE = [
     # ladder's terminal keep-list (corpus minus non-canonical members)
     "neardup_components",
     "dedup_keep_list",
-    # round 4: intra-doc repetition scoring + benchmark decontamination
+    # round 4: intra-doc repetition scoring + benchmark decontamination +
+    # deterministic corpus mixing
     "doc_repetition_score",
     "benchmark_decontamination",
+    "corpus_mix_sample",
 ]
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import dedup, sampling
 from ..sources.tables import load_table
 from .registry import register
 
@@ -479,4 +479,87 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         "contam_bp",
         "contaminated",
+    )
+
+
+def _mix_ticket_rate_sql() -> tuple[str, str]:
+    """Oracle twins of the mix ticket/rate expressions, built from the SAME
+    constants module as the Spark plan (CLAUDE.md shared-constants rule)."""
+    ticket = sampling.mix_ticket_sql("doc_id", sampling.MIX_SALT)
+    rate = sampling.rate_bp_case_sql(
+        "source", sampling.MIX_WEIGHTS_BP, sampling.DEFAULT_MIX_BP
+    )
+    return ticket, rate
+
+
+_MIX_TICKET_SQL, _MIX_RATE_SQL = _mix_ticket_rate_sql()
+
+
+@register(
+    "corpus_mix_sample",
+    f"""
+    SELECT doc_id, source, lang, ticket, rate_bp
+    FROM (
+      SELECT doc_id, source, lang,
+             {_MIX_TICKET_SQL} AS ticket,
+             {_MIX_RATE_SQL} AS rate_bp
+      FROM documents
+    )
+    WHERE ticket < rate_bp
+    """,
+    doc="Deterministic source-weighted corpus mix: keep a doc iff its "
+        "salted md5 id-ticket falls under its source's basis-point rate "
+        "(operators/sampling.py). Map-only (no shuffle, no count pass, "
+        "composes with pushdown), reproducible across runs/engines/cluster "
+        "sizes, and monotone in the weights (ablation mixes are supersets)."
+        " The ticket and rate columns make the output its own audit "
+        "worksheet.",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.hash_stratified_sample(d, "source", "doc_id").select(
+        "doc_id", "source", "lang", "ticket", "rate_bp"
+    )
+
+
+@register(
+    "mix_rate_report",
+    f"""
+    WITH ticketed AS (
+      SELECT source,
+             {_MIX_TICKET_SQL} AS ticket,
+             {_MIX_RATE_SQL} AS rate_bp
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN ticket < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           min(rate_bp) AS target_bp,
+           CAST(sum(CASE WHEN ticket < rate_bp THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             AS achieved_bp
+    FROM ticketed GROUP BY source
+    """,
+    doc="Per-source audit of the corpus mix: total vs sampled counts, "
+        "target rate vs achieved rate in exact integer basis points — the "
+        "report a pipeline owner reads to confirm a mix spec landed "
+        "(hash sampling is exact in expectation, not per-stratum, so the "
+        "achieved column is the thing to look at).",
+)
+def mix_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        sampling.mix_ticket(F.col("doc_id"), sampling.MIX_SALT).alias("ticket"),
+        sampling.rate_bp_column(
+            F.col("source"), sampling.MIX_WEIGHTS_BP, sampling.DEFAULT_MIX_BP
+        ).alias("rate_bp"),
+    )
+    kept = F.sum(F.when(F.col("ticket") < F.col("rate_bp"), 1).otherwise(0))
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        kept.cast("long").alias("n_sampled"),
+        F.min("rate_bp").alias("target_bp"),
+        F.expr(
+            "CAST(div(sum(CASE WHEN ticket < rate_bp THEN 1 ELSE 0 END) * 10000, count(*)) AS BIGINT)"
+        ).alias("achieved_bp"),
     )

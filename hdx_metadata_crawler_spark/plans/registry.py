@@ -102,9 +102,10 @@ _PRIORITY_NAMES = [
     # round-4 dedup flagship (clusters + keep list)
     "neardup_components",
     "dedup_keep_list",
-    # round-4 quality flagship (repetition + benchmark leakage)
+    # round-4 quality flagship (repetition + benchmark leakage + mixing)
     "doc_repetition_score",
     "benchmark_decontamination",
+    "corpus_mix_sample",
 ]
 
 
