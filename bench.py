@@ -95,6 +95,7 @@ HEADLINE = [
     "doc_repetition_score",
     "benchmark_decontamination",
     "corpus_mix_sample",
+    "sequence_packing",
 ]
 
 

@@ -636,3 +636,60 @@ def regex_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_num")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+_PACK_SEQ_LEN = 256
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM t WHERE n_tokens > 0),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS stream_start
+      FROM nz
+    )
+    SELECT doc_id, n_tokens, stream_start,
+           stream_start // {_PACK_SEQ_LEN} AS seq_start,
+           (stream_start + n_tokens - 1) // {_PACK_SEQ_LEN} AS seq_end,
+           stream_start % {_PACK_SEQ_LEN} AS seq_offset,
+           (stream_start + n_tokens - 1) // {_PACK_SEQ_LEN}
+             - stream_start // {_PACK_SEQ_LEN} + 1 AS n_seqs
+    FROM c
+    """,
+    doc="GPT-style sequence packing (concat-then-chunk): docs in doc_id "
+        "order are conceptually concatenated into one token stream and "
+        "sliced into fixed 256-token training sequences; each doc reports "
+        "its global stream offset, first/last sequence id, in-sequence "
+        "offset and straddle count. The global prefix sum runs as a "
+        "DISTRIBUTED cumsum (operators/packing.py: range partition -> "
+        "within-partition window -> P-row offset broadcast), never a "
+        "single-task global window; the oracle recomputes it as a plain "
+        "single-node window cumsum — pure integer math, exact hash parity.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).alias("n_tokens"),
+    )
+    return pack_sequences(counted, "doc_id", "n_tokens", _PACK_SEQ_LEN).select(
+        F.col("_id").alias("doc_id"),
+        "n_tokens",
+        "stream_start",
+        "seq_start",
+        "seq_end",
+        "seq_offset",
+        "n_seqs",
+    )

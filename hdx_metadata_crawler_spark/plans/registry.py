@@ -106,6 +106,7 @@ _PRIORITY_NAMES = [
     "doc_repetition_score",
     "benchmark_decontamination",
     "corpus_mix_sample",
+    "sequence_packing",
 ]
 
 
