@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
+import threading
+
+# serializes connected_components' session-conf narrow/restore (see its body)
+_CC_CONF_LOCK = threading.Lock()
+
 
 def shingles(text_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (space-joined), distinct.
@@ -32,15 +37,11 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     while the DuckDB oracles' array_to_string yields [NULL] — one NULL-text
     row would silently diverge every sketch oracle.  With the coalesce both
     engines treat a NULL document exactly like an empty one."""
-    toks = tokenize(F.coalesce(text_col, F.lit("")))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    # A doc shorter than n tokens yields its whole token string as one shingle.
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    # Single source of truth for gram construction: ``ngram_grams`` (below)
+    # builds the multiplicity-preserving array; set semantics are just a
+    # distinct over it, so tokenization / short-doc fallback can never
+    # diverge between repetition scores and the sketch tiers.
+    return F.array_distinct(ngram_grams(text_col, n))
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -433,63 +434,79 @@ def connected_components(
     base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_parts = max(1, min(base_parts, -(-n_edges // rows_per_partition)))
     adj = sym.repartition(n_parts, "dst").persist()
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-        labels = (
-            adj.select(F.col("src").alias("id"))
-            .distinct()
-            .select("id", F.col("id").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        sym.unpersist()
-        for _ in range(max_iters):
-            nbr_min = (
-                adj.join(labels, adj["dst"] == labels["id"])
-                .groupBy("src")
-                .agg(F.min("comp").alias("nbr_comp"))
-            )
-            stepped = (
-                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                    ).alias("comp"),
-                    labels["comp"].alias("_prev"),
-                )
-                .persist()
-            )
-            # pointer jumping: comp := comp(comp) (labels is total over the
-            # node set and comp values are node ids, so the lookup always
-            # hits; left join keeps the row when comp == id)
-            mapping = stepped.select(
-                F.col("id").alias("jid"), F.col("comp").alias("jcomp")
-            )
-            # eager localCheckpoint truncates the logical plan each round
-            # (see docstring: the plan otherwise grows ~4^rounds)
-            new_labels = (
-                stepped.join(mapping, stepped["comp"] == mapping["jid"], "left")
-                .select(
-                    "id",
-                    F.coalesce("jcomp", F.col("comp")).alias("comp"),
-                    "_prev",
-                )
+    # The loop's shuffle width comes from spark.sql.shuffle.partitions:
+    # explicit per-frame repartition(n_parts, key) was tried and REJECTED
+    # by measurement — EnsureRequirements re-exchanges joins at the session
+    # width anyway (localCheckpoint does not preserve outputPartitioning,
+    # and co-partitioned inputs of different widths get re-shuffled), so
+    # the explicit form paid the conf-width exchanges PLUS its own
+    # (+1.7-2.4 s/query at sf0.1).  The conf is session-global, so the
+    # narrow/restore pair runs under a module lock: reentrant calls in one
+    # process can never interleave read-conf/set-conf and leave the
+    # session permanently narrowed, and the restore sits in a finally.
+    # Transient effect remains by design: OTHER queries issued on the same
+    # session from other threads while a CC loop is live would plan their
+    # shuffles at n_parts — acceptable for a bounded loop, and correct.
+    with _CC_CONF_LOCK:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+            labels = (
+                adj.select(F.col("src").alias("id"))
+                .distinct()
+                .select("id", F.col("id").alias("comp"))
                 .localCheckpoint(eager=True)
             )
-            stepped.unpersist()
-            changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
-            labels = new_labels.select("id", "comp")
-            if changed == 0:
-                return labels
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds — "
-            "pointer jumping bounds rounds at O(log n), so this indicates a "
-            "pathological input (or max_iters set too low for its size)"
-        )
-    finally:
-        sym.unpersist()
-        adj.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
+            sym.unpersist()
+            for _ in range(max_iters):
+                nbr_min = (
+                    adj.join(labels, adj["dst"] == labels["id"])
+                    .groupBy("src")
+                    .agg(F.min("comp").alias("nbr_comp"))
+                )
+                stepped = (
+                    labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                        ).alias("comp"),
+                        labels["comp"].alias("_prev"),
+                    )
+                    .persist()
+                )
+                # pointer jumping: comp := comp(comp) (labels is total over
+                # the node set and comp values are node ids, so the lookup
+                # always hits; left join keeps the row when comp == id)
+                mapping = stepped.select(
+                    F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+                )
+                # eager localCheckpoint truncates the logical plan each round
+                # (see docstring: the plan otherwise grows ~4^rounds)
+                new_labels = (
+                    stepped.join(mapping, stepped["comp"] == mapping["jid"], "left")
+                    .select(
+                        "id",
+                        F.coalesce("jcomp", F.col("comp")).alias("comp"),
+                        "_prev",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                stepped.unpersist()
+                changed = new_labels.filter(
+                    F.col("comp") != F.col("_prev")
+                ).count()
+                labels = new_labels.select("id", "comp")
+                if changed == 0:
+                    return labels
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds — "
+                "pointer jumping bounds rounds at O(log n), so this indicates a "
+                "pathological input (or max_iters set too low for its size)"
+            )
+        finally:
+            sym.unpersist()
+            adj.unpersist()
+            spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -650,10 +667,16 @@ def ngram_decontaminate(
     the output stays the complete worksheet.  The overlap fraction is
     emitted in exact integer basis points (see ``repetition_scores``).
     """
+    # The short-doc/NULL-text fallback emits '' as the whole-doc shingle;
+    # an empty EVAL doc must not put '' in the dictionary, or every empty
+    # corpus doc would read as 100% contaminated.  (Non-empty short-doc
+    # fallbacks stay: an eval doc's whole text matching a corpus doc IS
+    # leakage.)
     eval_sh = (
         eval_set.select(
             F.explode(shingles(F.col(text_col), n)).alias("shingle")
         )
+        .filter(F.col("shingle") != "")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

@@ -58,10 +58,26 @@ def pack_sequences(
         .repartitionByRange(n_parts, F.col("_id"))
         .withColumn("_pid", F.spark_partition_id())
     )
-    within = Window.partitionBy("_pid").orderBy("_id")
+    # ROWS frame, not the default RANGE frame: duplicate ids must get
+    # DISTINCT running sums (RANGE peers would share one cumulative value,
+    # overlapping their stream slices and diverging from the oracle's
+    # explicit ROWS window).
+    within = (
+        Window.partitionBy("_pid")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Eager localCheckpoint pins the sampled range boundaries and the
+    # nondeterministic spark_partition_id to ONE materialization: `local`
+    # feeds both the per-partition totals and the final join, and without
+    # pinning, a plan that re-executes the range exchange per branch
+    # (exchange reuse off, or a cache race) could assign boundary rows
+    # different _pid values in each branch — silently corrupting every
+    # offset after the first divergent boundary.  (On a cluster, swap for
+    # ``checkpoint`` against durable storage, as in connected_components.)
     local = base.withColumn(
         "_local_end", F.sum("n_tokens").over(within)
-    )
+    ).localCheckpoint(eager=True)
     # P rows total — bounded by the chosen parallelism, not by the data —
     # so the single-partition window over the partials is safe by design.
     totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))

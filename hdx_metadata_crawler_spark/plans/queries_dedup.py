@@ -442,7 +442,11 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              ({dedup.MD5_BASE28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 20 = 0) AS is_eval
       FROM sh
     ),
-    eval_sh AS (SELECT DISTINCT unnest(shingles) AS shingle FROM flagged WHERE is_eval),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest(shingles) AS shingle FROM flagged WHERE is_eval
+      ) WHERE shingle <> ''
+    ),
     corpus AS (SELECT doc_id, shingles FROM flagged WHERE NOT is_eval),
     idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM corpus),
     hits AS (

@@ -286,8 +286,10 @@ def test_ngram_decontaminate_overlap_and_zero_rows(spark):
         ["doc_id", "text"],
     )
     eval_set = spark.createDataFrame(
-        [("e1", "a b c q q q"), ("e2", "m n o")], ["doc_id", "text"]
-    )
+        [("e1", "a b c q q q"), ("e2", "m n o"), ("e3", None)],
+        ["doc_id", "text"],
+    )  # e3's NULL text must NOT put '' in the dictionary (or c3 would
+    # read as 100% contaminated)
     got = {
         r["_id"]: (r["n_shingles"], r["n_overlap"], r["contam_bp"], r["contaminated"])
         for r in dedup.ngram_decontaminate(

@@ -55,3 +55,21 @@ def test_packing_straddle_math(spark):
         3: (10, 1, 3, 0, 3),    # tokens 10-34: straddles sequences 1-3
         5: (35, 3, 3, 5, 1),    # doc 4 dropped (0 tokens); doc 5 at offset 5
     }
+
+
+def test_packing_duplicate_ids_get_distinct_slices(spark):
+    """The within-partition window uses an explicit ROWS frame: duplicate
+    ids are distinct rows of the stream, not RANGE peers sharing one
+    cumulative value (which would overlap their slices)."""
+    df = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 5)], ["doc_id", "n_tokens"]
+    )
+    rows = sorted(
+        pack_sequences(df, "doc_id", "n_tokens", 10, n_parts=1).collect(),
+        key=lambda r: r["stream_start"],
+    )
+    assert [(r["_id"], r["stream_start"], r["n_tokens"]) for r in rows] == [
+        (1, 0, 3),
+        (1, 3, 4),
+        (2, 7, 5),
+    ]
