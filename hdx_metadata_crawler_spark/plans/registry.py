@@ -149,5 +149,6 @@ def _ensure_loaded() -> None:
     from . import queries_integration  # noqa: F401
     from . import queries_blocks  # noqa: F401
     from . import queries_spans  # noqa: F401
+    from . import queries_curation  # noqa: F401
     _reorder_for_driver_window()
     _LOADED = True
