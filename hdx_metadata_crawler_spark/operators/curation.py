@@ -120,6 +120,88 @@ GOPHER_MIN_STOP_HITS = 2
 # Gopher's list is (the, be, to, of, and, that, have, with); kept verbatim.
 GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+def gopher_metrics(toks: Column) -> dict[str, Column]:
+    """The four Gopher rule metrics from a token-array column (Spark side).
+    Shared by ``gopher_quality_filter`` and the curation funnel — ONE
+    definition so the rule can never drift between the two queries."""
+    stop = F.array([F.lit(w) for w in GOPHER_STOPWORDS])
+    n_words = F.size(toks)
+    denom = F.greatest(n_words, F.lit(1))
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return {
+        "n_words": n_words,
+        "mean_word_len": tok_chars * F.lit(1.0) / denom,
+        "alpha_ratio": F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        * F.lit(1.0)
+        / denom,
+        "stop_hits": F.size(F.filter(toks, lambda t: F.array_contains(stop, t))),
+    }
+
+
+def gopher_metrics_sql(toks_expr: str) -> dict[str, str]:
+    """DuckDB twins of ``gopher_metrics`` (same names, same math)."""
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return {
+        "n_words": f"len({toks_expr})",
+        "mean_word_len": (
+            f"coalesce(list_sum(list_transform({toks_expr}, t -> len(t))), 0)"
+            f" * 1.0 / greatest(len({toks_expr}), 1)"
+        ),
+        "alpha_ratio": (
+            f"len(list_filter({toks_expr}, t -> regexp_matches(t, '[a-z]')))"
+            f" * 1.0 / greatest(len({toks_expr}), 1)"
+        ),
+        "stop_hits": f"len(list_filter({toks_expr}, t -> t IN ({stop_list})))",
+    }
+
+
+def gopher_pass(m: dict[str, Column]) -> dict[str, Column]:
+    """Per-rule pass flags + keep from the metric columns (UNROUNDED —
+    identical expression trees give identical IEEE doubles in both
+    engines; rounding is display-only)."""
+    flags = {
+        "pass_words": (m["n_words"] >= GOPHER_MIN_WORDS)
+        & (m["n_words"] <= GOPHER_MAX_WORDS),
+        "pass_word_len": (m["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (m["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN),
+        "pass_alpha": m["alpha_ratio"] >= GOPHER_MIN_ALPHA_RATIO,
+        "pass_stop": m["stop_hits"] >= GOPHER_MIN_STOP_HITS,
+    }
+    flags["keep"] = (
+        flags["pass_words"]
+        & flags["pass_word_len"]
+        & flags["pass_alpha"]
+        & flags["pass_stop"]
+    )
+    return flags
+
+
+def gopher_pass_sql() -> dict[str, str]:
+    """DuckDB twins of ``gopher_pass`` over columns named like the
+    ``gopher_metrics_sql`` keys (wrap metrics in a subquery first)."""
+    flags = {
+        "pass_words": (
+            f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})"
+        ),
+        "pass_word_len": (
+            f"(mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}"
+            f" AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN})"
+        ),
+        "pass_alpha": f"(alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO})",
+        "pass_stop": f"(stop_hits >= {GOPHER_MIN_STOP_HITS})",
+    }
+    flags["keep"] = (
+        f"({flags['pass_words']} AND {flags['pass_word_len']}"
+        f" AND {flags['pass_alpha']} AND {flags['pass_stop']})"
+    )
+    return flags
+
+
+# --------------------------------------------------------------------------
+# Curation-funnel thresholds (the chained keep/drop pipeline).
+# --------------------------------------------------------------------------
+REP_MAX_BP = 100  # drop docs whose repeated-3-gram fraction exceeds 1%
+
 # --------------------------------------------------------------------------
 # BPE-ish pre-tokenizer (GPT-2 style, simplified to the Java∩RE2 dialect:
 # the original's \s+(?!\S) lookahead is not RE2-expressible).  Runs of

@@ -17,15 +17,12 @@ from pyspark.sql import functions as F
 from ..functions.text import tokenize
 from ..operators.curation import (
     BPE_SPLIT_PATTERN,
-    GOPHER_MAX_MEAN_WORD_LEN,
-    GOPHER_MAX_WORDS,
-    GOPHER_MIN_ALPHA_RATIO,
-    GOPHER_MIN_MEAN_WORD_LEN,
-    GOPHER_MIN_STOP_HITS,
-    GOPHER_MIN_WORDS,
-    GOPHER_STOPWORDS,
     PII_BANK,
     QUANT_LEVELS,
+    gopher_metrics,
+    gopher_metrics_sql,
+    gopher_pass,
+    gopher_pass_sql,
     inject_pii,
     inject_pii_sql,
 )
@@ -91,36 +88,29 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _gopher_oracle() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    m = gopher_metrics_sql("toks")
+    fl = gopher_pass_sql()
     return f"""
     SELECT doc_id, n_words,
            round(mean_word_len, 4) AS mean_word_len,
            round(alpha_ratio, 4)   AS alpha_ratio,
            stop_hits,
-           pass_words, pass_word_len, pass_alpha, pass_stop,
-           (pass_words AND pass_word_len AND pass_alpha AND pass_stop) AS keep
+           {fl['pass_words']} AS pass_words,
+           {fl['pass_word_len']} AS pass_word_len,
+           {fl['pass_alpha']} AS pass_alpha,
+           {fl['pass_stop']} AS pass_stop,
+           {fl['keep']} AS keep
     FROM (
-      SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
-             (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
-               AS pass_words,
-             (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
-              AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}) AS pass_word_len,
-             (alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}) AS pass_alpha,
-             (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS pass_stop
-      FROM (
-        SELECT doc_id,
-               len(toks) AS n_words,
-               coalesce(list_sum(list_transform(toks, t -> len(t))), 0) * 1.0
-                 / greatest(len(toks), 1) AS mean_word_len,
-               len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) * 1.0
-                 / greatest(len(toks), 1) AS alpha_ratio,
-               len(list_filter(toks, t -> t IN ({stop_list}))) AS stop_hits
-        FROM (SELECT doc_id,
-                     list_filter(string_split_regex(lower(coalesce(text, '')),
-                                                    '[^a-z0-9]+'),
-                                 t -> t <> '') AS toks
-              FROM documents)
-      )
+      SELECT doc_id,
+             {m['n_words']} AS n_words,
+             {m['mean_word_len']} AS mean_word_len,
+             {m['alpha_ratio']} AS alpha_ratio,
+             {m['stop_hits']} AS stop_hits
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+            FROM documents)
     )
     """
 
@@ -137,33 +127,19 @@ def _gopher_oracle() -> str:
 )
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.coalesce(F.col("text"), F.lit("")))
-    stop = F.array([F.lit(w) for w in GOPHER_STOPWORDS])
-    n_words = F.size(toks)
-    denom = F.greatest(n_words, F.lit(1))
-    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-    mean_word_len = tok_chars * F.lit(1.0) / denom
-    alpha_ratio = (
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) * F.lit(1.0) / denom
-    )
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    pass_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-    pass_word_len = (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
-        mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN
-    )
-    pass_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
-    pass_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    m = gopher_metrics(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+    fl = gopher_pass(m)
     return d.select(
         "doc_id",
-        n_words.alias("n_words"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        stop_hits.alias("stop_hits"),
-        pass_words.alias("pass_words"),
-        pass_word_len.alias("pass_word_len"),
-        pass_alpha.alias("pass_alpha"),
-        pass_stop.alias("pass_stop"),
-        (pass_words & pass_word_len & pass_alpha & pass_stop).alias("keep"),
+        m["n_words"].alias("n_words"),
+        F.round(m["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(m["alpha_ratio"], 4).alias("alpha_ratio"),
+        m["stop_hits"].alias("stop_hits"),
+        fl["pass_words"].alias("pass_words"),
+        fl["pass_word_len"].alias("pass_word_len"),
+        fl["pass_alpha"].alias("pass_alpha"),
+        fl["pass_stop"].alias("pass_stop"),
+        fl["keep"].alias("keep"),
     )
 
 
@@ -297,4 +273,202 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_q2"),
         F.size(F.filter(F.col("q"), lambda v: v != 0)).alias("nnz"),
         err_bp.alias("max_err_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel — the training-data twin of pipeline_funnel
+# ---------------------------------------------------------------------------
+
+CURATION_STAGES = [
+    "corpus",
+    "eval_heldout",
+    "repetition_ok",
+    "quality_keep",
+    "exact_unique",
+    "neardup_survivor",
+    "decontaminated",
+    "mix_sampled",
+]
+
+
+def _curation_funnel_oracle() -> str:
+    from ..operators import sampling
+    from .queries_dedup import (
+        EVAL_SPLIT_SQL,
+        _components_oracle_ctes,
+        _decontam_ctes,
+        _repetition_ctes,
+    )
+    from ..operators.curation import REP_MAX_BP
+
+    m = gopher_metrics_sql("toks")
+    keep = gopher_pass_sql()["keep"]
+    ticket = sampling.mix_ticket_sql("doc_id", sampling.MIX_SALT)
+    rate = sampling.rate_bp_case_sql(
+        "source", sampling.MIX_WEIGHTS_BP, sampling.DEFAULT_MIX_BP
+    )
+    stage_rows = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS stage_order, '{name}' AS stage, "
+        f"CAST(sum(CASE WHEN c{i + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, "
+        f"CAST(sum(CASE WHEN c{i + 1} THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens "
+        "FROM b8"
+        for i, name in enumerate(CURATION_STAGES)
+    )
+    return f"""
+    WITH RECURSIVE
+    b0 AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    b1 AS (
+      SELECT doc_id, text, source, len(toks) AS n_toks,
+             {m['n_words']} AS n_words,
+             {m['mean_word_len']} AS mean_word_len,
+             {m['alpha_ratio']} AS alpha_ratio,
+             {m['stop_hits']} AS stop_hits,
+             NOT {EVAL_SPLIT_SQL} AS s2x,
+             md5(coalesce(text, '')) AS digest,
+             ({ticket} < {rate}) AS s8x
+      FROM b0
+    ),
+    b2 AS (SELECT *, {keep} AS s4x FROM b1),
+    {_repetition_ctes('documents')},
+    b3 AS (
+      SELECT b2.*, (rep.rep_bp <= {REP_MAX_BP}) AS s3x
+      FROM b2 JOIN rep USING (doc_id)
+    ),
+    b4 AS (
+      SELECT *, s2x AS c2, s2x AND s3x AS c3, s2x AND s3x AND s4x AS c4
+      FROM b3
+    ),
+    winners AS (SELECT digest, min(doc_id) AS keep_id FROM b4 WHERE c4 GROUP BY digest),
+    b5 AS (
+      SELECT b4.*, coalesce(c4 AND b4.doc_id = w.keep_id, FALSE) AS c5
+      FROM b4 LEFT JOIN winners w USING (digest)
+    ),
+    surv5 AS (SELECT doc_id, text FROM b5 WHERE c5),
+    {_components_oracle_ctes('surv5')},
+    nd_dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+    {_decontam_ctes('documents')},
+    b6 AS (
+      SELECT b5.*, c5 AND doc_id NOT IN (SELECT doc_id FROM nd_dropped) AS c6
+      FROM b5
+    ),
+    b7 AS (
+      SELECT b6.*, c6 AND NOT coalesce(dc.contaminated, FALSE) AS c7
+      FROM b6 LEFT JOIN dc USING (doc_id)
+    ),
+    b8 AS (SELECT *, TRUE AS c1, c7 AND s8x AS c8 FROM b7),
+    funnel AS (
+    {stage_rows}
+    )
+    SELECT stage_order, stage, n_docs, n_tokens,
+           coalesce(n_docs <= lag(n_docs) OVER (ORDER BY stage_order), TRUE)
+             AS monotone_ok
+    FROM funnel
+    """
+
+
+@register(
+    "curation_funnel",
+    _curation_funnel_oracle(),
+    doc="End-to-end training-data curation funnel — the pipeline a 100 TB "
+        "corpus actually runs, chained as ONE dataflow reusing the REAL "
+        "stage implementations: held-out eval split (the SAME md5 ticket "
+        "split the decontamination dictionary is built from) -> intra-doc "
+        "repetition filter (rep_bp <= threshold) -> Gopher quality rules "
+        "-> exact first-seen dedup among survivors -> simhash "
+        "connected-components near-dup survivor (min-id canonical) -> "
+        "benchmark decontamination -> deterministic source-weighted mix. "
+        "Emits cumulative per-stage doc AND token counts plus the "
+        "monotonicity invariant, all value-hashed against a DuckDB oracle "
+        "that recomputes the whole chain (including the recursive "
+        "transitive closure) from the shared CTE builders — one source of "
+        "truth per stage, so no stage can drift from its standalone query.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import dedup, sampling
+    from ..operators.curation import REP_MAX_BP
+    from .queries_dedup import eval_split_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.coalesce(F.col("text"), F.lit("")))
+    fl = gopher_pass(gopher_metrics(toks))
+    mix_ok = sampling.mix_ticket(F.col("doc_id"), sampling.MIX_SALT) < (
+        sampling.rate_bp_column(
+            F.col("source"), sampling.MIX_WEIGHTS_BP, sampling.DEFAULT_MIX_BP
+        )
+    )
+    base = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_toks"),
+        (~eval_split_col()).alias("s2x"),
+        fl["keep"].alias("s4x"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"),
+        mix_ok.alias("s8x"),
+    )
+    rep = dedup.repetition_scores(d, "doc_id", "text", n=3).select(
+        F.col("_id").alias("doc_id"), (F.col("rep_bp") <= REP_MAX_BP).alias("s3x")
+    )
+    wide = (
+        base.join(rep, "doc_id")
+        .withColumn("c2", F.col("s2x"))
+        .withColumn("c3", F.col("c2") & F.col("s3x"))
+        .withColumn("c4", F.col("c3") & F.col("s4x"))
+    )
+    # exact first-seen dedup among the c4 survivors (min doc_id per digest)
+    winners = wide.filter("c4").groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    wide = wide.join(winners, "digest", "left").withColumn(
+        "c5", F.coalesce(F.col("c4") & (F.col("doc_id") == F.col("keep_id")), F.lit(False))
+    )
+    # near-dup survivor among the c5 survivors: simhash pairs -> components
+    surv5 = wide.filter("c5").select("doc_id", "text")
+    pairs = dedup.simhash_hamming_pairs(
+        surv5, "doc_id", "text", max_distance=3, hash_fn=dedup.md5_hash60
+    )
+    nd_dropped = (
+        dedup.connected_components(pairs)
+        .filter(F.col("id") != F.col("comp"))
+        .select(F.col("id").alias("doc_id"), F.lit(True).alias("nd_drop"))
+    )
+    wide = wide.join(nd_dropped, "doc_id", "left").withColumn(
+        "c6", F.col("c5") & F.col("nd_drop").isNull()
+    )
+    # benchmark decontamination (vs the SAME held-out split)
+    contam = dedup.ngram_decontaminate(
+        d.filter(~eval_split_col()), d.filter(eval_split_col()), "doc_id", "text", n=5
+    ).select(F.col("_id").alias("doc_id"), "contaminated")
+    wide = (
+        wide.join(contam, "doc_id", "left")
+        .withColumn(
+            "c7", F.col("c6") & ~F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+        .withColumn("c8", F.col("c7") & F.col("s8x"))
+        .withColumn("c1", F.lit(True))
+    )
+    aggs = []
+    for i in range(1, 9):
+        ci = F.col(f"c{i}")
+        aggs.append(F.sum(ci.cast("long")).alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(ci, F.col("n_toks")).otherwise(F.lit(0))).alias(f"t{i}")
+        )
+    sums = wide.agg(*aggs)
+    stack_expr = ", ".join(
+        f"{i + 1}, '{name}', n{i + 1}, t{i + 1}"
+        for i, name in enumerate(CURATION_STAGES)
+    )
+    stacked = sums.selectExpr(
+        f"stack(8, {stack_expr}) as (stage_order, stage, n_docs, n_tokens)"
+    )
+    w = Window.orderBy("stage_order")
+    return stacked.withColumn(
+        "monotone_ok",
+        F.coalesce(F.col("n_docs") <= F.lag("n_docs").over(w), F.lit(True)),
     )

@@ -208,9 +208,11 @@ def cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op(e, threshold=0.40, dim=64)
 
 
-def _simhash_oracle_cte() -> str:
+def _simhash_oracle_cte(src: str = "documents") -> str:
     """Fingerprint CTE over the portable md5-derived 60-bit token hash —
-    DuckDB's hex cast equals Spark's conv(substring(md5,1,15),16,10)."""
+    DuckDB's hex cast equals Spark's conv(substring(md5,1,15),16,10).
+    ``src`` is any relation exposing (doc_id, text) — the curation funnel
+    passes its survivor CTE so the closure runs over the filtered set."""
     bit_terms = " + ".join(
         f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
         f"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
@@ -222,7 +224,7 @@ def _simhash_oracle_cte() -> str:
              list_distinct(list_filter(
                string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t <> ''))
                AS toks
-      FROM documents),
+      FROM {src}),
     hashes AS (
       SELECT doc_id,
              list_transform(toks, t -> {dedup.MD5_HASH60_SQL.format(x='t')})
@@ -280,12 +282,13 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_oracle_ctes() -> str:
+def _components_oracle_ctes(src: str = "documents") -> str:
     """Transitive-closure CTE chain shared by the cluster/keep-list oracles
-    (single source of truth per the oracle-parity rules): brute-force
-    hamming<=3 pairs over the simhash fingerprints, symmetrize, close with
-    a recursive reachability CTE, take min-id per node as the component."""
-    return f"""{_simhash_oracle_cte()},
+    AND the curation funnel (single source of truth per the oracle-parity
+    rules): brute-force hamming<=3 pairs over the simhash fingerprints,
+    symmetrize, close with a recursive reachability CTE, take min-id per
+    node as the component."""
+    return f"""{_simhash_oracle_cte(src)},
     prs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM fps a JOIN fps b ON a.doc_id < b.doc_id
@@ -379,30 +382,41 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_repetition_score",
-    """
-    WITH toks AS (
+def _repetition_ctes(src: str = "documents") -> str:
+    """Per-doc repeated-3-gram CTE chain (prefixed ``rep_``), shared by
+    ``doc_repetition_score`` and the curation funnel — ends in
+    ``rep(doc_id, n_grams, n_distinct_grams, rep_bp, top_gram_count)``."""
+    return f"""
+    rep_toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          t -> t <> '') AS toks
-      FROM documents
+      FROM {src}
     ),
-    grams AS (
+    rep_grams AS (
       SELECT doc_id, unnest(
         CASE WHEN len(toks) >= 3 THEN
           list_transform(range(1, len(toks) - 1),
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
         ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS gram
-      FROM toks
+      FROM rep_toks
     ),
-    cnts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram)
-    SELECT doc_id,
-           CAST(sum(c) AS BIGINT) AS n_grams,
-           count(*) AS n_distinct_grams,
-           CAST((sum(c) - count(*)) * 10000 // sum(c) AS BIGINT) AS rep_bp,
-           CAST(max(c) AS BIGINT) AS top_gram_count
-    FROM cnts GROUP BY doc_id
+    rep_cnts AS (SELECT doc_id, gram, count(*) AS c FROM rep_grams GROUP BY doc_id, gram),
+    rep AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             count(*) AS n_distinct_grams,
+             CAST((sum(c) - count(*)) * 10000 // sum(c) AS BIGINT) AS rep_bp,
+             CAST(max(c) AS BIGINT) AS top_gram_count
+      FROM rep_cnts GROUP BY doc_id
+    )"""
+
+
+@register(
+    "doc_repetition_score",
+    f"""
+    WITH {_repetition_ctes()}
+    SELECT doc_id, n_grams, n_distinct_grams, rep_bp, top_gram_count FROM rep
     """,
     doc="Intra-document repetition scoring over token 3-grams WITH "
         "multiplicity (boilerplate / generator-loop quality filter — the "
@@ -422,10 +436,31 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "benchmark_decontamination",
-    f"""
-    WITH sh AS (
+# Deterministic held-out eval split — 1 doc in EVAL_SPLIT_MOD by portable
+# md5 ticket. Shared by benchmark_decontamination AND the curation funnel
+# (the funnel's heldout stage must be the SAME split the decontamination
+# dictionary is built from, or the two stages silently diverge).
+EVAL_SPLIT_MOD = 20
+EVAL_SPLIT_SQL = (
+    f"({dedup.MD5_BASE28_SQL.format(x='CAST(doc_id AS VARCHAR)')}"
+    f" % {EVAL_SPLIT_MOD} = 0)"
+)
+
+
+def eval_split_col() -> "F.Column":
+    """Spark twin of EVAL_SPLIT_SQL — explicit string cast: md5 over a
+    BIGINT would digest the 8-byte binary form in Spark but the rendered
+    decimal in DuckDB."""
+    return dedup.md5_base28(F.col("doc_id").cast("string")) % EVAL_SPLIT_MOD == 0
+
+
+def _decontam_ctes(src: str = "documents") -> str:
+    """Decontamination CTE chain (prefixed ``dc_``), shared by
+    ``benchmark_decontamination`` and the curation funnel — ends in
+    ``dc(doc_id, n_shingles, n_overlap, contam_bp, contaminated)`` over
+    the NON-eval docs of ``src``."""
+    return f"""
+    dc_sh AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 5 THEN
                list_distinct(list_transform(range(1, len(toks) - 3),
@@ -435,31 +470,40 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                                t -> t <> '') AS toks
-            FROM documents)
+            FROM {src})
     ),
-    flagged AS (
-      SELECT doc_id, shingles,
-             ({dedup.MD5_BASE28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 20 = 0) AS is_eval
-      FROM sh
+    dc_flagged AS (
+      SELECT doc_id, shingles, {EVAL_SPLIT_SQL} AS is_eval
+      FROM dc_sh
     ),
-    eval_sh AS (
+    dc_eval_sh AS (
       SELECT DISTINCT shingle FROM (
-        SELECT unnest(shingles) AS shingle FROM flagged WHERE is_eval
+        SELECT unnest(shingles) AS shingle FROM dc_flagged WHERE is_eval
       ) WHERE shingle <> ''
     ),
-    corpus AS (SELECT doc_id, shingles FROM flagged WHERE NOT is_eval),
-    idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM corpus),
-    hits AS (
-      SELECT idx.doc_id, count(*) AS n_overlap
-      FROM idx JOIN eval_sh USING (shingle)
-      GROUP BY idx.doc_id
-    )
-    SELECT c.doc_id,
-           CAST(len(c.shingles) AS BIGINT) AS n_shingles,
-           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
-           CAST(coalesce(h.n_overlap, 0) * 10000 // len(c.shingles) AS BIGINT) AS contam_bp,
-           coalesce(h.n_overlap, 0) > 0 AS contaminated
-    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    dc_corpus AS (SELECT doc_id, shingles FROM dc_flagged WHERE NOT is_eval),
+    dc_idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM dc_corpus),
+    dc_hits AS (
+      SELECT dc_idx.doc_id, count(*) AS n_overlap
+      FROM dc_idx JOIN dc_eval_sh USING (shingle)
+      GROUP BY dc_idx.doc_id
+    ),
+    dc AS (
+      SELECT c.doc_id,
+             CAST(len(c.shingles) AS BIGINT) AS n_shingles,
+             CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(coalesce(h.n_overlap, 0) * 10000 // len(c.shingles) AS BIGINT)
+               AS contam_bp,
+             coalesce(h.n_overlap, 0) > 0 AS contaminated
+      FROM dc_corpus c LEFT JOIN dc_hits h ON c.doc_id = h.doc_id
+    )"""
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH {_decontam_ctes()}
+    SELECT doc_id, n_shingles, n_overlap, contam_bp, contaminated FROM dc
     """,
     doc="Benchmark decontamination: per corpus doc, distinct word 5-grams "
         "shared with a held-out eval split (portable md5 1-in-20 doc "
@@ -471,9 +515,7 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    # explicit string cast: md5 over a BIGINT would digest the 8-byte
-    # binary form in Spark but the rendered decimal in DuckDB
-    is_eval = dedup.md5_base28(F.col("doc_id").cast("string")) % 20 == 0
+    is_eval = eval_split_col()
     out = dedup.ngram_decontaminate(
         d.filter(~is_eval), d.filter(is_eval), "doc_id", "text", n=5
     )

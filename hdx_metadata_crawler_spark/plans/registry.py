@@ -107,6 +107,9 @@ _PRIORITY_NAMES = [
     "benchmark_decontamination",
     "corpus_mix_sample",
     "sequence_packing",
+    # round-4 curation flagship (the chained keep/drop pipeline + PII)
+    "curation_funnel",
+    "pii_redaction",
 ]
 
 

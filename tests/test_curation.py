@@ -203,3 +203,43 @@ def test_quantize_query_registered_with_oracle():
     ):
         assert name in registry.REGISTRY
         assert registry.REGISTRY[name].oracle is not None
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel
+# ---------------------------------------------------------------------------
+
+def test_curation_funnel_monotone_and_anchored(spark):
+    """Stage counts are a monotone non-increasing chain, anchored at the
+    corpus count, and every stage genuinely fires on the test corpus
+    (oracle parity is the driver's job; this pins the funnel SHAPE)."""
+    from tests.conftest import SF_SMALL
+    from hdx_metadata_crawler_spark.plans.queries_curation import curation_funnel
+
+    rows = {
+        r["stage"]: r
+        for r in curation_funnel(spark, SF_SMALL).collect()
+    }
+    n_corpus = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert rows["corpus"]["n_docs"] == n_corpus
+    order = [
+        "corpus",
+        "eval_heldout",
+        "repetition_ok",
+        "quality_keep",
+        "exact_unique",
+        "neardup_survivor",
+        "decontaminated",
+        "mix_sampled",
+    ]
+    counts = [rows[s]["n_docs"] for s in order]
+    tokens = [rows[s]["n_tokens"] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert tokens == sorted(tokens, reverse=True)
+    assert all(rows[s]["monotone_ok"] for s in order)
+    # the interesting stages actually drop documents on this corpus
+    assert rows["eval_heldout"]["n_docs"] < rows["corpus"]["n_docs"]
+    assert rows["quality_keep"]["n_docs"] < rows["repetition_ok"]["n_docs"]
+    assert rows["neardup_survivor"]["n_docs"] < rows["exact_unique"]["n_docs"]
+    assert rows["mix_sampled"]["n_docs"] < rows["decontaminated"]["n_docs"]
+    assert rows["mix_sampled"]["n_docs"] > 0
