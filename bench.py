@@ -96,6 +96,13 @@ HEADLINE = [
     "benchmark_decontamination",
     "corpus_mix_sample",
     "sequence_packing",
+    # round 4: curation surface — PII redaction, Gopher rules, BPE token
+    # profile, int8 embedding quantization, and the end-to-end funnel
+    "pii_redaction",
+    "gopher_quality_filter",
+    "bpe_token_profile",
+    "embedding_quantize_int8",
+    "curation_funnel",
 ]
 
 

@@ -696,3 +696,114 @@ def ngram_decontaminate(
             (F.count("_hit") > 0).alias("contaminated"),
         )
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    hash_fn=None,
+) -> DataFrame:
+    """Cross-snapshot dedup: classify each NEW document against an EXISTING
+    corpus as exact_dup / near_dup / novel — the shape a 100 TB pipeline
+    actually runs at ingestion time.  Re-deduplicating the whole corpus per
+    snapshot is O(corpus) every day; the incremental form touches
+    O(new batch + matched buckets) only, because the existing side's digest
+    set and simhash chunk index are precomputed once and stored (here they
+    are derived inline from ``existing`` so the operator is
+    self-contained; at scale, persist ``exact tier`` digests and the
+    chunked fingerprints bucketed on their join keys and both joins run
+    without shuffling the corpus — see sources/bucketing.py).
+
+    Tiers (verdict precedence exact_dup > near_dup > novel):
+      1. exact: md5 digest of the text semi-matched against existing
+         digests (NULL text == empty text per the repo-wide rule);
+      2. near: simhash64 pigeonhole chunks (see simhash_hamming_pairs) —
+         new-side chunks join existing-side chunks on (chunk_idx,
+         chunk_val), exact ``bit_count(xor)`` verify at <= max_distance;
+         per new doc, the count of distinct existing near-matches and the
+         minimum hamming distance (-1 when none, NULL-free output).
+
+    Both joins key on digests/fingerprints — document text never enters a
+    shuffle.  The chunk join's fan-out is the constant (max_distance + 1)
+    per doc on each side, never all-pairs.
+    """
+    n_chunks = max_distance + 1
+    assert 64 % n_chunks == 0, "chunk count must divide 64"
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+
+    def digests(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_digest"),
+        )
+
+    def chunked(df: DataFrame) -> DataFrame:
+        fp = simhash64(df, id_col, text_col, hash_fn=hash_fn)
+        return fp.select(
+            "_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk_idx"),
+                            F.shiftrightunsigned(F.col("simhash"), c * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk_val"),
+                        )
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("ch"),
+        ).select("_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+
+    exact_hits = (
+        digests(new_batch)
+        .join(
+            digests(existing).select("_digest").distinct(),
+            "_digest",
+            "left_semi",
+        )
+        .select("_id", F.lit(True).alias("_is_exact"))
+    )
+    nx = chunked(new_batch).alias("nx")
+    ex = chunked(existing).alias("ex")
+    near = (
+        nx.join(
+            ex,
+            (F.col("nx.chunk_idx") == F.col("ex.chunk_idx"))
+            & (F.col("nx.chunk_val") == F.col("ex.chunk_val")),
+        )
+        .select(
+            F.col("nx._id").alias("_id"),
+            F.col("ex._id").alias("_ex_id"),
+            hamming64(F.col("nx.simhash"), F.col("ex.simhash")).alias("_hamming"),
+        )
+        .filter(F.col("_hamming") <= max_distance)
+        .groupBy("_id")
+        .agg(
+            F.countDistinct("_ex_id").alias("n_near"),
+            F.min("_hamming").cast("int").alias("min_hamming"),
+        )
+    )
+    base = new_batch.select(F.col(id_col).alias("_id"))
+    out = (
+        base.join(exact_hits, "_id", "left")
+        .join(near, "_id", "left")
+        .select(
+            "_id",
+            F.coalesce("_is_exact", F.lit(False)).alias("is_exact"),
+            F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
+            F.coalesce("min_hamming", F.lit(-1).cast("int")).alias("min_hamming"),
+        )
+    )
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("is_exact"), F.lit("exact_dup"))
+        .when(F.col("n_near") > 0, F.lit("near_dup"))
+        .otherwise(F.lit("novel")),
+    )

@@ -483,3 +483,118 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monotone_ok",
         F.coalesce(F.col("n_docs") <= F.lag("n_docs").over(w), F.lit(True)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest — train-shard export planning
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 32
+SHARD_SALT = "shard:"
+_SHARD_KEY_SQL = f"'{SHARD_SALT}' || CAST(doc_id AS VARCHAR)"
+SHARD_ID_SQL = f"({MD5_BASE28_SQL.format(x=_SHARD_KEY_SQL)} % {N_SHARDS})"
+
+
+def shard_id_col() -> "F.Column":
+    """Deterministic shard assignment — salted md5 ticket mod N_SHARDS
+    (content-independent, so re-running the export after upstream edits
+    keeps every unchanged doc in the same shard)."""
+    return (
+        md5_base28(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string")))
+        % N_SHARDS
+    )
+
+
+@register(
+    "shard_manifest",
+    f"""
+    SELECT {SHARD_ID_SQL} AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(
+                 string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                 t -> t <> ''))) AS BIGINT) AS n_tokens,
+           CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Train-shard export manifest: deterministic salted-ticket shard "
+        "assignment (content-independent, stable under re-export) + "
+        "per-shard doc/token/byte/source stats and the doc_id range — the "
+        "planning table a 100 TB shard writer partitions by. One scan, one "
+        "map-side-combined aggregate keyed on shard_id; the writer itself "
+        "would repartition(shard_id) and write per-partition files, so the "
+        "manifest IS the skew check (token totals per shard) before the "
+        "expensive write.",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    return d.groupBy(shard_id_col().alias("shard_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize(text)).cast("long")).alias("n_tokens"),
+        F.sum(F.length(text).cast("long")).alias("n_bytes"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates — the first tokenizer-training iteration
+# ---------------------------------------------------------------------------
+
+TOP_MERGES = 50
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""
+    WITH pt AS (
+      SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                       '{BPE_SPLIT_PATTERN}')) AS w
+      FROM documents
+    ),
+    prs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> substring(w, i, 2))) AS pair
+      FROM pt WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM prs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT {TOP_MERGES}
+    """,
+    doc="BPE tokenizer-training step: corpus-wide frequencies of adjacent "
+        "character pairs within pre-tokens (the quantity the first BPE "
+        "merge maximizes), top candidates under a TOTAL order (count desc, "
+        "pair asc). Explode -> map-side-combined count over a tiny "
+        "(chars^2-bounded) key space -> top-k: at 100 TB the shuffle "
+        "carries only the pre-combined pair counts per map partition, "
+        "never the corpus. Iterating merges = re-running this with the "
+        "learned vocabulary applied; the per-iteration dataflow is "
+        "identical.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    w = F.explode(
+        F.regexp_extract_all(low, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    ).alias("w")
+    pairs = d.select(w).filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(TOP_MERGES)
+    )

@@ -528,6 +528,97 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic new-batch / existing-corpus split for the incremental
+# dedup query: 1 doc in INC_SPLIT_MOD is "newly ingested", the rest are the
+# standing corpus.  Salted ('inc:' prefix) so it cannot correlate with the
+# eval split above.
+INC_SPLIT_MOD = 4
+INC_SPLIT_SALT = "inc:"
+INC_MAX_DISTANCE = 3
+_INC_KEY_SQL = f"'{INC_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)"
+INC_SPLIT_SQL = (
+    f"({dedup.MD5_BASE28_SQL.format(x=_INC_KEY_SQL)} % {INC_SPLIT_MOD} = 0)"
+)
+
+
+def inc_split_col() -> "F.Column":
+    """Spark twin of INC_SPLIT_SQL (explicit string cast, see eval_split_col)."""
+    return (
+        dedup.md5_base28(F.concat(F.lit(INC_SPLIT_SALT), F.col("doc_id").cast("string")))
+        % INC_SPLIT_MOD
+        == 0
+    )
+
+
+@register(
+    "incremental_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {INC_SPLIT_SQL} AS is_new FROM documents
+    ),
+    {_simhash_oracle_cte('base')},
+    dg AS (
+      SELECT b.doc_id, md5(coalesce(b.text, '')) AS digest, b.is_new FROM base b
+    ),
+    nf AS (SELECT f.doc_id, f.simhash FROM fps f JOIN base b USING (doc_id)
+           WHERE b.is_new),
+    ef AS (SELECT f.doc_id, f.simhash FROM fps f JOIN base b USING (doc_id)
+           WHERE NOT b.is_new),
+    ex_hit AS (
+      SELECT DISTINCT n.doc_id
+      FROM dg n JOIN dg e ON n.digest = e.digest
+      WHERE n.is_new AND NOT e.is_new
+    ),
+    near AS (
+      SELECT nf.doc_id,
+             CAST(count(DISTINCT ef.doc_id) AS BIGINT) AS n_near,
+             CAST(min(bit_count(xor(nf.simhash, ef.simhash))) AS INT)
+               AS min_hamming
+      FROM nf JOIN ef
+        ON bit_count(xor(nf.simhash, ef.simhash)) <= {INC_MAX_DISTANCE}
+      GROUP BY nf.doc_id
+    )
+    SELECT b.doc_id,
+           (eh.doc_id IS NOT NULL) AS is_exact,
+           CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near,
+           CAST(coalesce(nr.min_hamming, -1) AS INT) AS min_hamming,
+           CASE WHEN eh.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN coalesce(nr.n_near, 0) > 0 THEN 'near_dup'
+                ELSE 'novel' END AS verdict
+    FROM base b
+    LEFT JOIN ex_hit eh ON b.doc_id = eh.doc_id
+    LEFT JOIN near nr ON b.doc_id = nr.doc_id
+    WHERE b.is_new
+    """,
+    doc="Cross-snapshot incremental dedup: every newly-ingested doc (salted "
+        "md5 1-in-4 split) classified exact_dup / near_dup / novel against "
+        "the standing corpus — the ingestion-time shape that avoids "
+        "re-deduplicating 100 TB per snapshot. Exact tier = digest "
+        "left-semi; near tier = simhash pigeonhole chunk join (constant "
+        "fan-out, never all-pairs) with exact bit_count verify, emitting "
+        "per-doc distinct-match count and min hamming. Oracle brute-forces "
+        "new x existing pairs over the SAME portable md5-keyed fingerprint "
+        "CTE as the simhash queries (operators/dedup.py incremental_dedup).",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    is_new = inc_split_col()
+    return dedup.incremental_dedup(
+        d.filter(is_new),
+        d.filter(~is_new),
+        "doc_id",
+        "text",
+        max_distance=INC_MAX_DISTANCE,
+        hash_fn=dedup.md5_hash60,
+    ).select(
+        F.col("_id").alias("doc_id"),
+        "is_exact",
+        "n_near",
+        "min_hamming",
+        "verdict",
+    )
+
+
 def _mix_ticket_rate_sql() -> tuple[str, str]:
     """Oracle twins of the mix ticket/rate expressions, built from the SAME
     constants module as the Spark plan (CLAUDE.md shared-constants rule)."""

@@ -502,6 +502,82 @@ def token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_total FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+             round(tf.tf * ln((n.n_total + 1.0) / (idf.df + 1.0)), 4) AS score
+      FROM tf JOIN idf USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token AS term, CAST(rnk AS INT) AS rnk,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+    FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+    """,
+    doc="TF-IDF keyword extraction: top-k terms per document by "
+        "tf * ln((N+1)/(df+1)), rank tie-broken on the ROUNDED score then "
+        "term (total order, so both engines pick identical winners). Plan: "
+        "explode -> (doc, token) count -> vocabulary df aggregate -> join "
+        "keyed on token -> per-doc row_number window. Both aggregates are "
+        "map-side combined; the corpus count rides a broadcast 1-row cross "
+        "join, not a driver round-trip; at 100 TB the only wide shuffles "
+        "key on token (vocabulary-sized) and doc_id.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(idf, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_total") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "rnk",
+            "tf",
+            "df",
+            "score",
+        )
+    )
+
+
 @register(
     "doc_quality",
     """

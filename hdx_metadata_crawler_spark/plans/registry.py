@@ -110,6 +110,12 @@ _PRIORITY_NAMES = [
     # round-4 curation flagship (the chained keep/drop pipeline + PII)
     "curation_funnel",
     "pii_redaction",
+    # round-4 breadth: ingestion-time dedup, shard export planning,
+    # tokenizer training, keyword extraction
+    "incremental_dedup",
+    "shard_manifest",
+    "bpe_merge_candidates",
+    "tfidf_top_terms",
 ]
 
 

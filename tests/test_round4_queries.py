@@ -1,0 +1,163 @@
+"""Round-4 breadth queries: incremental dedup, shard manifest, BPE merge
+candidates, TF-IDF top terms.  Oracle parity is the driver's job
+(verify_local green at sf0.01 + sf0.001); these pin operator SEMANTICS on
+crafted inputs and the query invariants on the test corpus."""
+
+from pyspark.sql import functions as F
+
+from hdx_metadata_crawler_spark.operators import dedup
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup (operator semantics on crafted corpus)
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_tiers(spark):
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text about spark shuffles"),
+            (3, None),  # NULL text == empty text
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            # near dup of 1: different text (extra repeated token) but the
+            # SAME distinct-token set -> hamming 0, digest mismatch
+            (11, "the the quick brown fox jumps over the lazy dog"),
+            (12, "entirely novel content with unique words qqq zzz"),
+            (13, ""),  # exact dup of the NULL-text doc (NULL == empty rule)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["_id"]: r
+        for r in dedup.incremental_dedup(
+            new, existing, "doc_id", "text", max_distance=3
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10]["verdict"] == "exact_dup" and out[10]["is_exact"]
+    # the exact twin is also hamming-0 near, so the near tier sees it too
+    assert out[10]["min_hamming"] == 0
+    assert out[11]["verdict"] == "near_dup" and not out[11]["is_exact"]
+    assert out[11]["min_hamming"] == 0 and out[11]["n_near"] >= 1
+    assert out[12]["verdict"] == "novel"
+    assert out[12]["n_near"] == 0 and out[12]["min_hamming"] == -1
+    assert out[13]["verdict"] == "exact_dup"
+
+
+def test_incremental_dedup_query_verdict_consistency(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        INC_SPLIT_MOD,
+        incremental_dedup,
+        inc_split_col,
+    )
+
+    rows = incremental_dedup(spark, SF_SMALL).collect()
+    n_new = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter(inc_split_col())
+        .count()
+    )
+    # every new-batch doc classified exactly once
+    assert len(rows) == n_new > 0
+    for r in rows:
+        if r["verdict"] == "exact_dup":
+            assert r["is_exact"]
+        elif r["verdict"] == "near_dup":
+            assert not r["is_exact"] and r["n_near"] > 0
+        else:
+            assert r["verdict"] == "novel"
+            assert r["n_near"] == 0 and r["min_hamming"] == -1
+        if r["n_near"] > 0:
+            assert 0 <= r["min_hamming"] <= 3
+    # the 1-in-MOD split actually produced both sides
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert 0 < n_new < total
+    assert INC_SPLIT_MOD > 1
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest
+# ---------------------------------------------------------------------------
+
+def test_shard_manifest_partitions_corpus(spark):
+    from hdx_metadata_crawler_spark.plans.queries_curation import (
+        N_SHARDS,
+        shard_manifest,
+    )
+
+    rows = shard_manifest(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(0 <= r["shard_id"] < N_SHARDS for r in rows)
+    assert len({r["shard_id"] for r in rows}) == len(rows)
+    # byte totals partition the corpus too (coalesced NULL text == '')
+    total_bytes = docs.select(
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("b")
+    ).collect()[0]["b"]
+    assert sum(r["n_bytes"] for r in rows) == total_bytes
+    assert all(r["min_doc_id"] <= r["max_doc_id"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_candidates
+# ---------------------------------------------------------------------------
+
+def test_bpe_merge_candidates_total_order_and_shape(spark):
+    from hdx_metadata_crawler_spark.plans.queries_curation import (
+        TOP_MERGES,
+        bpe_merge_candidates,
+    )
+
+    rows = bpe_merge_candidates(spark, SF_SMALL).collect()
+    assert len(rows) == TOP_MERGES
+    assert all(len(r["pair"]) == 2 for r in rows)
+    # total order: count desc, pair asc on ties
+    for a, b in zip(rows, rows[1:]):
+        assert a["cnt"] > b["cnt"] or (
+            a["cnt"] == b["cnt"] and a["pair"] < b["pair"]
+        )
+
+
+def test_bpe_pairs_from_known_word(spark, monkeypatch):
+    import hdx_metadata_crawler_spark.plans.queries_curation as qc
+
+    df = spark.createDataFrame([(1, "abab")], ["doc_id", "text"])
+    monkeypatch.setattr(qc, "load_table", lambda *a, **k: df)
+    rows = {
+        r["pair"]: r["cnt"] for r in qc.bpe_merge_candidates(spark, SF_SMALL).collect()
+    }
+    # 'abab' -> adjacent pairs ab, ba, ab
+    assert rows == {"ab": 2, "ba": 1}
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_rank_invariants(spark):
+    from hdx_metadata_crawler_spark.plans.queries_text import (
+        TFIDF_TOP_K,
+        tfidf_top_terms,
+    )
+
+    rows = tfidf_top_terms(spark, SF_SMALL).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in per_doc.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOP_K
+        # scores non-increasing down the ranks; ties broken by term asc
+        for a, b in zip(rs, rs[1:]):
+            assert a["score"] > b["score"] or (
+                a["score"] == b["score"] and a["term"] < b["term"]
+            )
+        for r in rs:
+            assert r["tf"] >= 1 and r["df"] >= 1
