@@ -67,7 +67,8 @@ def _pii_oracle() -> str:
         "is semantic: each pattern sees only what earlier ones left.",
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out A/B at sf0.1 (BASELINE.md protocol): 0.79 -> 0.33 s (2.4x)
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     c = inject_pii(F.col("text"), F.col("doc_id"))
     counts = []
     for kind, pattern, repl in PII_BANK:
@@ -126,7 +127,8 @@ def _gopher_oracle() -> str:
         "rounded copies are display-only. Map-only, one scan.",
 )
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out A/B at sf0.1: 0.68 -> 0.31 s (2.2x)
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     m = gopher_metrics(tokenize(F.coalesce(F.col("text"), F.lit(""))))
     fl = gopher_pass(m)
     return d.select(
@@ -168,7 +170,8 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "whitespace tokens. Map-only, one scan.",
 )
 def bpe_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out A/B at sf0.1: 0.34 -> 0.13 s (2.7x)
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     low = F.lower(F.coalesce(F.col("text"), F.lit("")))
     n_bpe = F.size(F.regexp_extract_all(low, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
     n_ws = F.size(tokenize(low))
@@ -396,7 +399,11 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import REP_MAX_BP
     from .queries_dedup import eval_split_col
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: every stage below is per-row heavy (tokenize + Gopher
+    # metrics + 3-gram explode + md5 + downstream simhash) and the test
+    # parquet is single-row-group — measured 21.1 s -> 11.6 s warm at
+    # sf0.1 (the same A/B basis as BASELINE.md's fan-out table).
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = tokenize(F.coalesce(F.col("text"), F.lit("")))
     fl = gopher_pass(gopher_metrics(toks))
     mix_ok = sampling.mix_ticket(F.col("doc_id"), sampling.MIX_SALT) < (
@@ -579,7 +586,9 @@ TOP_MERGES = 50
         "identical.",
 )
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out A/B at sf0.1: 0.90 -> 0.53 s (1.7x); shard_manifest and
+    # tfidf_top_terms measured neutral-to-worse and stay plain.
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     low = F.lower(F.coalesce(F.col("text"), F.lit("")))
     w = F.explode(
         F.regexp_extract_all(low, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
