@@ -103,6 +103,13 @@ HEADLINE = [
     "bpe_token_profile",
     "embedding_quantize_int8",
     "curation_funnel",
+    # round 4: ingestion-time dedup, export planning, tokenizer training,
+    # keyword extraction, domain-mix stats
+    "incremental_dedup",
+    "shard_manifest",
+    "bpe_merge_candidates",
+    "tfidf_top_terms",
+    "source_length_percentiles",
 ]
 
 

@@ -502,6 +502,78 @@ def token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_length_percentiles",
+    """
+    WITH base AS (
+      SELECT coalesce(source, '') AS source, doc_id,
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_toks
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_toks,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_toks, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM base
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rnk = (n + 1) // 2 THEN n_toks END) AS BIGINT)
+             AS p50_tokens,
+           CAST(max(CASE WHEN rnk = (9 * n + 9) // 10 THEN n_toks END) AS BIGINT)
+             AS p90_tokens,
+           round(sum(n_toks) * 1.0 / count(*), 4) AS mean_tokens,
+           CAST(min(n_toks) AS BIGINT) AS min_tokens,
+           CAST(max(n_toks) AS BIGINT) AS max_tokens
+    FROM ranked
+    GROUP BY source
+    """,
+    doc="Per-source EXACT token-count percentiles (p50/p90 by explicit "
+        "rank selection — engines disagree on interpolated quantiles, so "
+        "the discrete rank formula (n+1) div 2 / ceil(0.9 n) is computed "
+        "in integer arithmetic on both sides), plus mean/min/max: the "
+        "domain-mix dashboard that decides corpus weights before "
+        "sampling. One scan, one window keyed on source, one aggregate. "
+        "Exact percentiles at 100 TB mean a per-source sort — acceptable "
+        "because sources are few and the window parallelizes per source "
+        "(skewed mega-sources would switch to approx_percentile, "
+        "documented trade).",
+)
+def source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        "doc_id",
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).alias("n_toks"),
+    )
+    w = Window.partitionBy("source").orderBy("n_toks", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = base.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.max(
+            F.when(F.col("rnk") == F.expr("div(n + 1, 2)"), F.col("n_toks"))
+        )
+        .cast("long")
+        .alias("p50_tokens"),
+        F.max(
+            F.when(F.col("rnk") == F.expr("div(9 * n + 9, 10)"), F.col("n_toks"))
+        )
+        .cast("long")
+        .alias("p90_tokens"),
+        F.round(F.sum("n_toks") * F.lit(1.0) / F.count("*"), 4).alias("mean_tokens"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+    )
+
+
 TFIDF_TOP_K = 3
 
 

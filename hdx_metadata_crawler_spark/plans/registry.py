@@ -116,6 +116,7 @@ _PRIORITY_NAMES = [
     "shard_manifest",
     "bpe_merge_candidates",
     "tfidf_top_terms",
+    "source_length_percentiles",
 ]
 
 

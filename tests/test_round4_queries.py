@@ -137,6 +137,44 @@ def test_bpe_pairs_from_known_word(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# source_length_percentiles
+# ---------------------------------------------------------------------------
+
+def test_source_length_percentiles_exact_on_crafted(spark, monkeypatch):
+    import hdx_metadata_crawler_spark.plans.queries_text as qt
+
+    # source A: token counts 1..10 -> p50 = value at rank 5 = 5 tokens,
+    # p90 = value at rank 9 = 9 tokens; source B: single doc
+    rows = [(i, "t " * i if i else None, "A") for i in range(1, 11)]
+    rows.append((100, "x y z", "B"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    monkeypatch.setattr(qt, "load_table", lambda *a, **k: df)
+    out = {
+        r["source"]: r
+        for r in qt.source_length_percentiles(spark, "unused").collect()
+    }
+    a = out["A"]
+    assert (a["n_docs"], a["p50_tokens"], a["p90_tokens"]) == (10, 5, 9)
+    assert (a["min_tokens"], a["max_tokens"]) == (1, 10)
+    assert a["mean_tokens"] == round(sum(range(1, 11)) / 10, 4)
+    b = out["B"]
+    assert (b["n_docs"], b["p50_tokens"], b["p90_tokens"]) == (1, 3, 3)
+
+
+def test_source_length_percentiles_rank_bounds(spark):
+    from hdx_metadata_crawler_spark.plans.queries_text import (
+        source_length_percentiles,
+    )
+
+    for r in source_length_percentiles(spark, SF_SMALL).collect():
+        assert r["p50_tokens"] is not None and r["p90_tokens"] is not None
+        assert (
+            r["min_tokens"] <= r["p50_tokens"] <= r["p90_tokens"] <= r["max_tokens"]
+        )
+        assert r["min_tokens"] <= r["mean_tokens"] <= r["max_tokens"]
+
+
+# ---------------------------------------------------------------------------
 # tfidf_top_terms
 # ---------------------------------------------------------------------------
 
