@@ -775,7 +775,8 @@ def incremental_dedup(
     exact_hits = (
         digests(new_batch)
         .join(
-            digests(existing).select("_digest").distinct(),
+            # no distinct: semi joins dedup their right side internally
+            digests(existing).select("_digest"),
             "_digest",
             "left_semi",
         )
