@@ -110,6 +110,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "tfidf_top_terms",
     "source_length_percentiles",
+    "duplicate_passages",
 ]
 
 

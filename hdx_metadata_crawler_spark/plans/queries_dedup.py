@@ -528,6 +528,79 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PASSAGE_N = 8
+TOP_PASSAGES = 25
+
+
+@register(
+    "duplicate_passages",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - {PASSAGE_N - 2}),
+                    i -> array_to_string(toks[i:i+{PASSAGE_N - 1}], ' '))) AS passage
+      FROM toks WHERE len(toks) >= {PASSAGE_N}
+    ),
+    per_doc AS (
+      SELECT passage, doc_id, count(*) AS c FROM grams GROUP BY passage, doc_id
+    )
+    SELECT passage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM per_doc
+    GROUP BY passage
+    HAVING count(*) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, passage ASC
+    LIMIT {TOP_PASSAGES}
+    """,
+    doc="Cross-document repeated passages: word 8-grams WITH positions "
+        "collapsed to (passage, doc) counts, kept when shared by >= 2 "
+        "distinct docs, top-25 by spread — the memorization-risk / "
+        "boilerplate diagnostic that doc-level sketches cannot see "
+        "(two mostly-different docs sharing one verbatim paragraph). "
+        "Plan: explode -> (passage, doc) map-side-combined count -> "
+        "per-passage re-aggregate (the same two-shuffle shape as "
+        "repetition_scores, so no countDistinct expand); at 100 TB hash "
+        "the passage to a 64-bit digest for the shuffle and join the "
+        "top survivors back for display text.",
+)
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokenize(F.coalesce(F.col("text"), F.lit("")))
+    exploded = (
+        d.select(F.col("doc_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= PASSAGE_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - PASSAGE_N),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, PASSAGE_N)),
+                )
+            ).alias("passage"),
+        )
+    )
+    per_doc = exploded.groupBy("passage", "doc_id").agg(F.count("*").alias("c"))
+    return (
+        per_doc.groupBy("passage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("passage"))
+        .limit(TOP_PASSAGES)
+    )
+
+
 # Deterministic new-batch / existing-corpus split for the incremental
 # dedup query: 1 doc in INC_SPLIT_MOD is "newly ingested", the rest are the
 # standing corpus.  Salted ('inc:' prefix) so it cannot correlate with the

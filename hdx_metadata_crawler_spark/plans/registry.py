@@ -117,6 +117,7 @@ _PRIORITY_NAMES = [
     "bpe_merge_candidates",
     "tfidf_top_terms",
     "source_length_percentiles",
+    "duplicate_passages",
 ]
 
 

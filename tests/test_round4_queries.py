@@ -137,6 +137,33 @@ def test_bpe_pairs_from_known_word(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# duplicate_passages
+# ---------------------------------------------------------------------------
+
+def test_duplicate_passages_finds_shared_paragraph(spark, monkeypatch):
+    import hdx_metadata_crawler_spark.plans.queries_dedup as qd
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here then {shared} and a tail"),
+            (2, f"{shared} completely different continuation text follows on"),
+            (3, "short doc"),  # < 8 tokens -> no grams at all
+            (4, "unrelated content with no overlap whatsoever in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(qd, "load_table", lambda *a, **k: df)
+    rows = {r["passage"]: r for r in qd.duplicate_passages(spark, "unused").collect()}
+    assert shared in rows
+    assert rows[shared]["n_docs"] == 2 and rows[shared]["n_occurrences"] == 2
+    # every reported passage is shared by >= 2 docs and has 8 words
+    for r in rows.values():
+        assert r["n_docs"] >= 2
+        assert len(r["passage"].split(" ")) == qd.PASSAGE_N
+
+
+# ---------------------------------------------------------------------------
 # source_length_percentiles
 # ---------------------------------------------------------------------------
 
