@@ -418,6 +418,12 @@ def connected_components(
     Raises after ``max_iters`` non-converged rounds rather than returning
     partially-propagated labels (a silent wrong canonical id would merge or
     split dedup groups downstream).
+
+    Tried and REJECTED by measurement: two neighbor+jump sub-steps per
+    checkpointed round (halves the action count at the price of a deeper
+    plan per job) — interleaved best-of-4 at sf0.1 read 2.72 s vs 2.26 s
+    for the single-step form; the extra self-join depth inside each job
+    costs more than the saved job launches.
     """
     spark = pairs.sparkSession
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
