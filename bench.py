@@ -111,6 +111,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "source_length_percentiles",
     "duplicate_passages",
+    "lang_confusion_matrix",
 ]
 
 

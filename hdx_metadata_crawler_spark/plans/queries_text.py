@@ -697,13 +697,28 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared lang-id heuristic markers (single source of truth for the per-doc
+# query AND the confusion matrix — CLAUDE.md shared-constants rule).
+LANG_EN_MARKERS = "the|and|of"
+LANG_NON_EN_MARKERS = "der|und|le|la|el"
+_LANG_GUESS_SQL = (
+    f"CASE WHEN regexp_matches(lower(text), '{LANG_EN_MARKERS}') "
+    f"AND NOT regexp_matches(lower(text), '{LANG_NON_EN_MARKERS}') "
+    "THEN 'en' ELSE 'other' END"
+)
+
+
+def _lang_guess_col() -> "F.Column":
+    low = F.lower(F.col("text"))
+    return F.when(
+        low.rlike(LANG_EN_MARKERS) & ~low.rlike(LANG_NON_EN_MARKERS), F.lit("en")
+    ).otherwise(F.lit("other"))
+
+
 @register(
     "lang_id_heuristic",
-    """
-    SELECT doc_id, lang,
-           CASE WHEN regexp_matches(lower(text), 'the|and|of')
-                     AND NOT regexp_matches(lower(text), 'der|und|le|la|el')
-                THEN 'en' ELSE 'other' END AS lang_guess
+    f"""
+    SELECT doc_id, lang, {_LANG_GUESS_SQL} AS lang_guess
     FROM documents
     """,
     doc="Language-ID n-gram heuristic (engine-new training-data op; the "
@@ -711,11 +726,50 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
-    guess = F.when(
-        low.rlike("the|and|of") & ~low.rlike("der|und|le|la|el"), F.lit("en")
-    ).otherwise(F.lit("other"))
-    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+    return d.select("doc_id", "lang", _lang_guess_col().alias("lang_guess"))
+
+
+@register(
+    "lang_confusion_matrix",
+    f"""
+    WITH g AS (
+      SELECT coalesce(lang, '') AS lang, {_LANG_GUESS_SQL} AS lang_guess
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+      FROM g GROUP BY lang, lang_guess
+    )
+    SELECT lang, lang_guess, n_docs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 4)
+             AS frac_of_lang
+    FROM cnt
+    """,
+    doc="Declared-vs-predicted language confusion matrix: per (lang, "
+        "lang_guess) cell, doc count and the within-language fraction — "
+        "the QA report that decides whether the lang-id heuristic (or a "
+        "declared-metadata column) can be trusted for filtering. Built "
+        "from the SAME marker constants as lang_id_heuristic so the two "
+        "queries can never drift. One scan, one tiny aggregate, one "
+        "window over the handful of language rows.",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+            _lang_guess_col().alias("lang_guess"),
+        )
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cnt.withColumn(
+        "frac_of_lang",
+        F.round(F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 4),
+    )
 
 
 @register(

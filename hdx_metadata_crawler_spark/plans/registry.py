@@ -118,6 +118,7 @@ _PRIORITY_NAMES = [
     "tfidf_top_terms",
     "source_length_percentiles",
     "duplicate_passages",
+    "lang_confusion_matrix",
 ]
 
 

@@ -202,6 +202,79 @@ def test_source_length_percentiles_rank_bounds(spark):
 
 
 # ---------------------------------------------------------------------------
+# lang_confusion_matrix
+# ---------------------------------------------------------------------------
+
+def test_lang_confusion_matrix_partitions_and_fracs(spark):
+    from hdx_metadata_crawler_spark.plans.queries_text import (
+        lang_confusion_matrix,
+    )
+
+    rows = lang_confusion_matrix(spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+        assert r["lang_guess"] in ("en", "other")
+    for lang, rs in per_lang.items():
+        assert abs(sum(r["frac_of_lang"] for r in rs) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup vs brute force (property)
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_matches_bruteforce_random(spark):
+    """Random corpus: the chunked near tier must agree with brute-force
+    hamming <= k over the same fingerprints (pigeonhole recall is a
+    guarantee, not probabilistic), and the exact tier with digest
+    equality."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant exact + near dups
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + " " + docs[1][1].split()[0]))
+    new_ids = {i for i, _ in docs if i % 3 == 0}
+    new = spark.createDataFrame([d for d in docs if d[0] in new_ids], ["doc_id", "text"])
+    old = spark.createDataFrame([d for d in docs if d[0] not in new_ids], ["doc_id", "text"])
+
+    got = {
+        r["_id"]: r
+        for r in dedup.incremental_dedup(new, old, "doc_id", "text", max_distance=3).collect()
+    }
+
+    fps = {
+        r["_id"]: r["simhash"]
+        for r in dedup.simhash64(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "doc_id", "text"
+        ).collect()
+    }
+
+    def ham(a, b):
+        # mask to 64 bits: xxhash64 fingerprints are SIGNED longs and
+        # Python's infinite-precision XOR of negatives would miscount
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    texts = dict(docs)
+    for i in sorted(new_ids):
+        exact = any(texts[j] == texts[i] for j, _ in docs if j not in new_ids)
+        near = {j for j, _ in docs if j not in new_ids and ham(fps[i], fps[j]) <= 3}
+        assert got[i]["is_exact"] == exact, i
+        assert got[i]["n_near"] == len(near), i
+        if near:
+            assert got[i]["min_hamming"] == min(ham(fps[i], fps[j]) for j in near), i
+        else:
+            assert got[i]["min_hamming"] == -1, i
+
+
+# ---------------------------------------------------------------------------
 # tfidf_top_terms
 # ---------------------------------------------------------------------------
 
