@@ -112,6 +112,7 @@ HEADLINE = [
     "source_length_percentiles",
     "duplicate_passages",
     "lang_confusion_matrix",
+    "quality_keep_rates",
 ]
 
 

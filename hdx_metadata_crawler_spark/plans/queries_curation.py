@@ -145,6 +145,65 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keep_rates_oracle() -> str:
+    m = gopher_metrics_sql("toks")
+    keep = gopher_pass_sql()["keep"]
+    return f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 // count(*)
+                AS BIGINT) AS keep_bp
+    FROM (
+      SELECT source, {keep} AS keep
+      FROM (
+        SELECT source,
+               {m['n_words']} AS n_words,
+               {m['mean_word_len']} AS mean_word_len,
+               {m['alpha_ratio']} AS alpha_ratio,
+               {m['stop_hits']} AS stop_hits
+        FROM (SELECT coalesce(source, '') AS source,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      )
+    )
+    GROUP BY source
+    """
+
+
+@register(
+    "quality_keep_rates",
+    _keep_rates_oracle(),
+    doc="Per-source Gopher-rule keep rates in exact integer basis points — "
+        "the report that tells a mixing policy which sources the quality "
+        "filter is about to gut (a source with keep_bp 900 cannot deliver "
+        "its configured mix weight). Shares the Gopher metric/pass "
+        "builders with gopher_quality_filter and the curation funnel "
+        "(single source of truth); one scan, one map-side-combined "
+        "aggregate keyed on source.",
+)
+def quality_keep_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    fl = gopher_pass(gopher_metrics(tokenize(F.coalesce(F.col("text"), F.lit("")))))
+    keep = fl["keep"].cast("long")
+    return (
+        d.select(
+            F.coalesce(F.col("source"), F.lit("")).alias("source"),
+            keep.alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_keep"),
+            F.expr("CAST(div(sum(keep) * 10000, count(*)) AS BIGINT)").alias(
+                "keep_bp"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish tokenizer profile
 # ---------------------------------------------------------------------------

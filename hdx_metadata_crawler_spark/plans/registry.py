@@ -119,22 +119,33 @@ _PRIORITY_NAMES = [
     "source_length_percentiles",
     "duplicate_passages",
     "lang_confusion_matrix",
+    "quality_keep_rates",
 ]
 
 
 def _reorder_for_driver_window() -> None:
-    """Rebuild REGISTRY so any 50-entry prefix samples every query module."""
+    """Rebuild REGISTRY so any 50-entry prefix samples every query module.
+
+    Order: (1) the pinned flagship block, (2) ONE query from every module
+    the flagship block does not already represent — this is what keeps the
+    guarantee as the flagship list grows toward the window size, (3) the
+    remainder round-robined one-per-module."""
     from collections import defaultdict
 
     ordered: dict[str, QuerySpec] = {}
     for name in _PRIORITY_NAMES:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
+    represented = {spec.fn.__module__ for spec in ordered.values()}
     by_module: dict[str, list[tuple[str, QuerySpec]]] = defaultdict(list)
     for name, spec in REGISTRY.items():
         if name not in ordered:
             by_module[spec.fn.__module__].append((name, spec))
-    queues = [by_module[m] for m in sorted(by_module)]
+    for m in sorted(by_module):
+        if m not in represented and by_module[m]:
+            name, spec = by_module[m].pop(0)
+            ordered[name] = spec
+    queues = [by_module[m] for m in sorted(by_module) if by_module[m]]
     while queues:
         for q in queues:
             name, spec = q.pop(0)

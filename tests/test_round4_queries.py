@@ -202,6 +202,34 @@ def test_source_length_percentiles_rank_bounds(spark):
 
 
 # ---------------------------------------------------------------------------
+# quality_keep_rates
+# ---------------------------------------------------------------------------
+
+def test_quality_keep_rates_consistent_with_gopher_filter(spark):
+    from hdx_metadata_crawler_spark.plans.queries_curation import (
+        gopher_quality_filter,
+        quality_keep_rates,
+    )
+
+    rates = {r["source"]: r for r in quality_keep_rates(spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    per_doc = gopher_quality_filter(spark, SF_SMALL).select("doc_id", "keep")
+    joined = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"), "doc_id"
+    ).join(per_doc, "doc_id")
+    expect = {
+        r["source"]: (r["n"], r["k"])
+        for r in joined.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("k"))
+        .collect()
+    }
+    assert set(rates) == set(expect)
+    for s, (n, k) in expect.items():
+        assert (rates[s]["n_docs"], rates[s]["n_keep"]) == (n, k)
+        assert rates[s]["keep_bp"] == (k * 10000) // n
+
+
+# ---------------------------------------------------------------------------
 # lang_confusion_matrix
 # ---------------------------------------------------------------------------
 
