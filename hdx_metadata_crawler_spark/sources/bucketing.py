@@ -49,6 +49,9 @@ def join_exchanges(df: DataFrame) -> int:
 
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # An AdaptiveSparkPlan's toString appends the pre-adaptive plan under an
+    # "== Initial Plan ==" header — counting past it doubles every node.
+    plan = plan.split("== Initial Plan ==")[0]
     return len(
         re.findall(
             r"\bExchange (hashpartitioning|rangepartitioning|"

@@ -1,12 +1,44 @@
 """Round-4 breadth queries: incremental dedup, shard manifest, BPE merge
 candidates, TF-IDF top terms.  Oracle parity is the driver's job
 (verify_local green at sf0.01 + sf0.001); these pin operator SEMANTICS on
-crafted inputs and the query invariants on the test corpus."""
+crafted inputs, the query invariants on the test corpus, and the
+scale-critical PLAN SHAPES (shuffle counts) that a refactor could silently
+regress."""
 
 from pyspark.sql import functions as F
 
 from hdx_metadata_crawler_spark.operators import dedup
+from hdx_metadata_crawler_spark.sources.bucketing import join_exchanges
 from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# plan shapes (shuffle-count regression net)
+# ---------------------------------------------------------------------------
+
+def test_plan_shapes_shuffle_counts(spark):
+    """Pin the number of shuffle Exchanges in the final adaptive plan for
+    the shapes the docstrings promise: bpe_merge_candidates is one
+    map-side-combined count + top-k (2 shuffles incl. the global sort),
+    duplicate_passages and doc_repetition_score are the two-shuffle
+    explode->combine->re-aggregate shape (+1 for the passage top-k sort),
+    and the decontamination dictionary must ride a BROADCAST join (no
+    shuffle on the corpus-side index beyond the per-doc aggregate)."""
+    from hdx_metadata_crawler_spark.plans.queries_curation import (
+        bpe_merge_candidates,
+    )
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        benchmark_decontamination,
+        duplicate_passages,
+    )
+
+    # bpe: pair count agg + top-k sort; passages: (passage,doc) agg +
+    # per-passage agg + top-k sort; decontam: per-doc agg + the tiny
+    # eval-side distinct (the corpus side joins the dictionary via
+    # BroadcastExchange, which must NOT count as a shuffle)
+    assert join_exchanges(bpe_merge_candidates(spark, SF_SMALL)) <= 2
+    assert join_exchanges(duplicate_passages(spark, SF_SMALL)) <= 3
+    assert join_exchanges(benchmark_decontamination(spark, SF_SMALL)) <= 2
 
 
 # ---------------------------------------------------------------------------
