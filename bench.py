@@ -113,6 +113,7 @@ HEADLINE = [
     "duplicate_passages",
     "lang_confusion_matrix",
     "quality_keep_rates",
+    "embedding_norm_stats",
 ]
 
 

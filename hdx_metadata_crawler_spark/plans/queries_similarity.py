@@ -267,6 +267,53 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_norm_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           round(sqrt(list_dot_product(
+                 list_transform(embedding, v -> CAST(v AS DOUBLE)),
+                 list_transform(embedding, v -> CAST(v AS DOUBLE)))), 4)
+             AS l2_norm,
+           (list_dot_product(
+                 list_transform(embedding, v -> CAST(v AS DOUBLE)),
+                 list_transform(embedding, v -> CAST(v AS DOUBLE))) = 0)
+             AS is_zero,
+           len(list_filter(embedding,
+                           v -> isnan(CAST(v AS DOUBLE))
+                                OR isinf(CAST(v AS DOUBLE)))) AS n_nonfinite
+    FROM embeddings
+    """,
+    doc="Per-vector embedding data-quality worksheet: dimension count, L2 "
+        "norm, zero-vector flag, non-finite component count — the gate a "
+        "pipeline runs BEFORE ANN indexing (a zero or NaN vector silently "
+        "poisons cosine top-k and k-means centroids). Map-only column "
+        "algebra over one scan; at 100 TB this is a free rider on any "
+        "other embedding pass.",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    # projection barrier: materialize the cast array once (Spark does not
+    # CSE across higher-order lambdas — see minhash_signatures)
+    base = e.select("vec_id", emb.alias("_e"))
+    ss = F.aggregate("_e", F.lit(0.0), lambda a, v: a + v * v)
+    inf = float("inf")
+    n_bad = F.size(
+        F.filter(
+            "_e", lambda v: F.isnan(v) | (v == F.lit(inf)) | (v == F.lit(-inf))
+        )
+    )
+    return base.select(
+        "vec_id",
+        F.size("_e").alias("n_dims"),
+        F.round(F.sqrt(ss), 4).alias("l2_norm"),
+        (ss == F.lit(0.0)).alias("is_zero"),
+        n_bad.alias("n_nonfinite"),
+    )
+
+
+@register(
     "label_centroid_stats",
     """
     SELECT label,

@@ -120,6 +120,7 @@ _PRIORITY_NAMES = [
     "duplicate_passages",
     "lang_confusion_matrix",
     "quality_keep_rates",
+    "embedding_norm_stats",
 ]
 
 

@@ -234,6 +234,32 @@ def test_source_length_percentiles_rank_bounds(spark):
 
 
 # ---------------------------------------------------------------------------
+# embedding_norm_stats
+# ---------------------------------------------------------------------------
+
+def test_embedding_norm_stats_crafted(spark, monkeypatch):
+    import math
+
+    import hdx_metadata_crawler_spark.plans.queries_similarity as qs
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, [0.0, 0.0]),
+            (3, [float("nan"), 1.0, float("inf")]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(qs, "load_table", lambda *a, **k: df)
+    out = {r["vec_id"]: r for r in qs.embedding_norm_stats(spark, "unused").collect()}
+    assert (out[1]["n_dims"], out[1]["l2_norm"], out[1]["is_zero"]) == (2, 5.0, False)
+    assert out[1]["n_nonfinite"] == 0
+    assert out[2]["is_zero"] and out[2]["l2_norm"] == 0.0
+    assert out[3]["n_nonfinite"] == 2 and not out[3]["is_zero"]
+    assert math.isnan(out[3]["l2_norm"]) or math.isinf(out[3]["l2_norm"])
+
+
+# ---------------------------------------------------------------------------
 # quality_keep_rates
 # ---------------------------------------------------------------------------
 
