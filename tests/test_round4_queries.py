@@ -113,6 +113,31 @@ def test_incremental_dedup_query_verdict_consistency(spark):
     assert INC_SPLIT_MOD > 1
 
 
+def test_incremental_dedup_empty_existing_side(spark):
+    """First-ever snapshot: everything is novel, nothing crashes on the
+    empty build sides."""
+    new = spark.createDataFrame([(1, "some words here"), (2, None)], ["doc_id", "text"])
+    old = spark.createDataFrame([], "doc_id long, text string")
+    out = {r["_id"]: r for r in dedup.incremental_dedup(new, old, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r["verdict"] == "novel"
+        assert not r["is_exact"] and r["n_near"] == 0 and r["min_hamming"] == -1
+
+
+def test_incremental_dedup_all_identical_mega_cluster(spark):
+    """Hot-bucket stress: every doc identical — the chunk join degenerates
+    to one bucket and the per-doc aggregate must still be correct."""
+    text = "same text in every single document of this corpus"
+    new = spark.createDataFrame([(i, text) for i in range(5)], ["doc_id", "text"])
+    old = spark.createDataFrame([(100 + i, text) for i in range(20)], ["doc_id", "text"])
+    out = dedup.incremental_dedup(new, old, "doc_id", "text").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["verdict"] == "exact_dup"
+        assert r["n_near"] == 20 and r["min_hamming"] == 0
+
+
 # ---------------------------------------------------------------------------
 # shard_manifest
 # ---------------------------------------------------------------------------
