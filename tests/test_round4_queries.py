@@ -42,6 +42,30 @@ def test_plan_shapes_shuffle_counts(spark):
 
 
 # ---------------------------------------------------------------------------
+# partition-count invariance (the bug class that bit sequence_packing:
+# results must not depend on the shuffle width)
+# ---------------------------------------------------------------------------
+
+def test_new_queries_partition_invariant(spark):
+    from hdx_metadata_crawler_spark.plans import registry
+
+    names = ["incremental_dedup", "source_length_percentiles", "duplicate_passages"]
+    qs = registry.queries()
+
+    def snap(name):
+        return sorted(map(str, qs[name](spark, SF_SMALL).collect()))
+
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    wide = {n: snap(n) for n in names}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n in names:
+            assert snap(n) == wide[n], f"{n} varies with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+
+
+# ---------------------------------------------------------------------------
 # incremental_dedup (operator semantics on crafted corpus)
 # ---------------------------------------------------------------------------
 
