@@ -114,6 +114,7 @@ HEADLINE = [
     "lang_confusion_matrix",
     "quality_keep_rates",
     "embedding_norm_stats",
+    "neardup_consensus",
 ]
 
 

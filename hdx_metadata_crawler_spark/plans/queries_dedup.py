@@ -67,10 +67,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
 
 
-@register(
-    "minhash_lsh_dedup",
-    f"""
-    WITH sh AS (
+def _minhash_ctes(src: str = "documents") -> str:
+    """MinHash(32) + banded LSH(8x4) CTE chain (prefixed ``mh_``), shared
+    by ``minhash_lsh_dedup`` and the consensus-components oracle — ends in
+    ``mh_scored(id_a, id_b, est_jaccard)``.  Same expressions the round-2
+    oracle conversion proved hash-identical to the Spark operators."""
+    sig_terms = ', '.join(
+        "list_min(list_transform(bh, "
+        f"h -> (h * {dedup.affine_consts(i)[0]} + {dedup.affine_consts(i)[1]}) % {dedup.MINHASH_PRIME}))"
+        for i in range(32))
+    bucket = dedup.MD5_HASH60_SQL.format(x='''
+               CAST(sig[b*4+1] AS VARCHAR) || ',' || CAST(sig[b*4+2] AS VARCHAR)
+               || ',' || CAST(sig[b*4+3] AS VARCHAR) || ',' || CAST(sig[b*4+4] AS VARCHAR)
+             ''')
+    return f"""
+    mh_sh AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3 THEN
                list_distinct(list_transform(range(1, len(toks) - 1),
@@ -79,42 +90,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                                t -> t <> '') AS toks
-            FROM documents)
+            FROM {src})
     ),
-    bases AS (
+    mh_bases AS (
       SELECT doc_id,
              list_transform(shingles,
                             s -> {dedup.MD5_BASE28_SQL.format(x='s')}) AS bh
-      FROM sh
+      FROM mh_sh
     ),
-    sigs AS (
-      SELECT doc_id,
-             [{', '.join(
-                 "list_min(list_transform(bh, "
-                 f"h -> (h * {dedup.affine_consts(i)[0]} + {dedup.affine_consts(i)[1]}) % {dedup.MINHASH_PRIME}))"
-                 for i in range(32))}] AS sig
-      FROM bases
+    mh_sigs AS (
+      SELECT doc_id, [{sig_terms}] AS sig
+      FROM mh_bases
     ),
-    banded AS (
-      SELECT doc_id, b,
-             {dedup.MD5_HASH60_SQL.format(x='''
-               CAST(sig[b*4+1] AS VARCHAR) || ',' || CAST(sig[b*4+2] AS VARCHAR)
-               || ',' || CAST(sig[b*4+3] AS VARCHAR) || ',' || CAST(sig[b*4+4] AS VARCHAR)
-             ''')} AS bucket
-      FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+    mh_banded AS (
+      SELECT doc_id, b, {bucket} AS bucket
+      FROM mh_sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
     ),
-    pairs AS (
+    mh_cands AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM banded x JOIN banded y
+      FROM mh_banded x JOIN mh_banded y
         ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-    )
-    SELECT id_a, id_b,
-           round(list_sum(list_transform(range(1, 33),
-                 i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / 32.0,
-                 4) AS est_jaccard
-    FROM pairs
-    JOIN sigs a ON pairs.id_a = a.doc_id
-    JOIN sigs b ON pairs.id_b = b.doc_id
+    ),
+    mh_scored AS (
+      SELECT id_a, id_b,
+             round(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / 32.0,
+                   4) AS est_jaccard
+      FROM mh_cands
+      JOIN mh_sigs a ON mh_cands.id_a = a.doc_id
+      JOIN mh_sigs b ON mh_cands.id_b = b.doc_id
+    )"""
+
+
+@register(
+    "minhash_lsh_dedup",
+    f"""
+    WITH {_minhash_ctes()}
+    SELECT id_a, id_b, est_jaccard FROM mh_scored
     """,
     doc="MinHash(32) + banded LSH(8×4) near-dup candidates with estimated "
         "Jaccard — the 100 TB-scale dedup path (bucket-join, never "
@@ -340,6 +352,86 @@ def _simhash_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _simhash_component_labels(spark, sf_dir)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        "n_members",
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+# MinHash pairs entering the consensus closure must clear this estimated
+# Jaccard (k/32 — exact binary fractions, identical in both engines); raw
+# band collisions alone are too noisy to merge clusters.
+MH_CONSENSUS_MIN_EST = 0.5
+
+
+@register(
+    "neardup_consensus",
+    f"""
+    WITH RECURSIVE {_simhash_oracle_cte('documents')},
+    {_minhash_ctes('documents')},
+    sh_prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    mh_prs AS (
+      SELECT id_a, id_b FROM mh_scored
+      WHERE est_jaccard >= {MH_CONSENSUS_MIN_EST}
+    ),
+    allp AS (
+      SELECT id_a, id_b FROM sh_prs
+      UNION
+      SELECT id_a, id_b FROM mh_prs
+    ),
+    csym AS (
+      SELECT id_a AS a, id_b AS b FROM allp
+      UNION
+      SELECT id_b AS a, id_a AS b FROM allp
+    ),
+    creach AS (
+      SELECT a AS id, a AS r FROM csym
+      UNION
+      SELECT creach.id, csym.b AS r FROM creach JOIN csym ON csym.a = creach.r
+    ),
+    ccomp AS (SELECT id AS doc_id, min(r) AS component_id FROM creach GROUP BY id),
+    csizes AS (SELECT component_id, count(*) AS n_members FROM ccomp GROUP BY component_id)
+    SELECT c.doc_id, c.component_id, s.n_members,
+           c.doc_id = c.component_id AS is_canonical
+    FROM ccomp c JOIN csizes s USING (component_id)
+    """,
+    doc="Multi-sketch CONSENSUS clusters: the transitive closure over the "
+        "UNION of the simhash tier (hamming<=3 pairs) and the MinHash-LSH "
+        "tier (band candidates at estimated Jaccard >= 0.5) — the two "
+        "sketches catch different near-dup shapes (bit-flip similarity vs "
+        "shingle-set overlap), and a production ladder merges both before "
+        "choosing survivors. Pair generation stays bucketed on both tiers "
+        "(never all-pairs); the union is edge-sized and feeds the same "
+        "O(log n) min-label + pointer-jump loop. Oracle: DuckDB recomputes "
+        "BOTH sketch tiers from the shared CTE builders and closes the "
+        "union with a recursive reachability CTE — the value hash proves "
+        "the merged fixpoint exactly.",
+)
+def neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh_pairs = dedup.simhash_hamming_pairs(
+        d, "doc_id", "text", max_distance=3, hash_fn=dedup.md5_hash60
+    ).select("id_a", "id_b")
+    sig = dedup.minhash_signatures(
+        d, "doc_id", "text", n=3, num_hashes=32, base_hash_fn=dedup.md5_base28
+    ).cache()
+    cands = dedup.minhash_lsh_candidates(
+        sig, bands=8, rows_per_band=4, num_hashes=32,
+        bucket_hash_fn=dedup.md5_hash60,
+    )
+    mh_pairs = (
+        dedup.minhash_jaccard_estimate(sig, cands)
+        .filter(F.col("est_jaccard") >= MH_CONSENSUS_MIN_EST)
+        .select("id_a", "id_b")
+    )
+    labels = dedup.connected_components(sh_pairs.unionByName(mh_pairs))
     sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
     return labels.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),

@@ -121,6 +121,7 @@ _PRIORITY_NAMES = [
     "lang_confusion_matrix",
     "quality_keep_rates",
     "embedding_norm_stats",
+    "neardup_consensus",
 ]
 
 

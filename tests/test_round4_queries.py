@@ -218,6 +218,32 @@ def test_bpe_pairs_from_known_word(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# neardup_consensus
+# ---------------------------------------------------------------------------
+
+def test_consensus_refines_simhash_components(spark):
+    """The consensus closure is over a SUPERSET of the simhash pairs, so
+    (a) every simhash-component pair of docs stays together under
+    consensus, and (b) consensus clusters can only be equal or coarser
+    (more members, never fewer canonical splits of an existing group)."""
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        neardup_components,
+        neardup_consensus,
+    )
+
+    sim = {r["doc_id"]: r["component_id"] for r in neardup_components(spark, SF_SMALL).collect()}
+    con = {r["doc_id"]: r["component_id"] for r in neardup_consensus(spark, SF_SMALL).collect()}
+    # every doc the simhash tier clusters is present in the consensus
+    assert set(sim) <= set(con)
+    # same simhash component -> same consensus component (refinement)
+    by_sim = {}
+    for d, c in sim.items():
+        by_sim.setdefault(c, []).append(d)
+    for members in by_sim.values():
+        assert len({con[d] for d in members}) == 1
+
+
+# ---------------------------------------------------------------------------
 # duplicate_passages
 # ---------------------------------------------------------------------------
 
