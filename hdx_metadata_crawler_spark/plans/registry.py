@@ -65,63 +65,72 @@ _LOADED = False
 # the remaining queries one-per-module so every family keeps several rows
 # inside any prefix window.
 _PRIORITY_NAMES = [
+    # ---- round-5 window rotation (VERDICT r04 item 2): the 12 queries that
+    # have never appeared in any driver CORRECTNESS window, plus tier_matrix
+    # (whose only driver row ever is the stale r01 FAIL — fixed in r2 but
+    # never driver-re-sampled).  Seating them first makes the union of
+    # r01–r05 driver rows cover every registered query.
+    "tier_matrix",
+    "gopher_quality_filter",
+    "translate_blocked",
+    "bpe_token_profile",
+    "embedding_quantize_int8",
+    "mix_rate_report",
+    "triplet_constraint_validation",
+    "currency_detection",
+    "signal_bank_extraction",
+    "hazard_context_resolution",
+    "reference_year_extraction",
+    "compound_tag_expansion",
+    "socioeconomic_indicators",
+    # round-5 additions (new this round -> never driver-sampled either)
+    "stream_quality_gate",
+    # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
+    # shuffles): the driver must re-confirm the value hash after the rewrite.
+    "doc_repetition_score",
+    "duplicate_passages",
+    "exact_dedup_groups",
+    # ---- flagship per-family block (kept from round 4; families that would
+    # otherwise land past slot 50 under plain import order).
     # blocks (RDLS assembly pipeline)
     "exposure_block_assembly",
-    "vulnerability_block_assembly",
     "loss_block_assembly",
     "translate_records",
     "full_schema_validation",
     "pipeline_funnel",
-    "rdls_index",
     # spans (interleaved text+media surface)
     "span_reassembly",
     "media_ref_dedup",
-    "span_interleave_stats",
-    "media_fetch_schedule",
     "stream_media_firstseen",
     "stream_span_ingest",
     # streaming
     "stream_hourly_rollup",
     "stream_stateful_dedup",
     "session_windows",
-    "approx_distinct_users",
     # quality
     "jsonschema_validation",
     "validate_records",
-    "hevl_completeness",
-    "record_shape_normalize",
-    "bool_coercion",
     "dup_titles",
     # integration
     "integrate_records",
-    "integration_skipped",
     # multimodal
     "media_features",
-    "frame_offsets",
-    "media_kind_stats",
-    # round-4 dedup flagship (clusters + keep list)
+    # dedup ladder (clusters + keep list + consensus + ingestion-time)
     "neardup_components",
     "dedup_keep_list",
-    # round-4 quality flagship (repetition + benchmark leakage + mixing)
-    "doc_repetition_score",
+    "neardup_consensus",
+    "incremental_dedup",
     "benchmark_decontamination",
     "corpus_mix_sample",
     "sequence_packing",
-    # round-4 curation flagship (the chained keep/drop pipeline + PII)
+    # curation (chained keep/drop pipeline + PII + export planning)
     "curation_funnel",
     "pii_redaction",
-    # round-4 breadth: ingestion-time dedup, shard export planning,
-    # tokenizer training, keyword extraction
-    "incremental_dedup",
     "shard_manifest",
     "bpe_merge_candidates",
     "tfidf_top_terms",
     "source_length_percentiles",
-    "duplicate_passages",
-    "lang_confusion_matrix",
-    "quality_keep_rates",
     "embedding_norm_stats",
-    "neardup_consensus",
 ]
 
 
