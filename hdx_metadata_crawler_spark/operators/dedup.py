@@ -44,12 +44,32 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(ngram_grams(text_col, n))
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str, digest_text: bool = False
+) -> DataFrame:
     """Keep the first (min id) row per key — SURVEY A7/A8 first-seen policy.
 
-    One hash-shuffle on the key; at scale prefer hashing wide text to a
-    digest first (sha2) so the shuffle carries 32 bytes, not the document.
+    One hash-shuffle on the key.  ``digest_text=True`` is the wide-key
+    (content-keyed) path: the grouping key is collapsed to ONE 60-bit
+    portable md5 digest over the \\x1f-joined, NULL-pinned key columns
+    BEFORE the exchange, so the shuffle carries 8 bytes per row instead of
+    the document text (a ~1000x shuffle-volume cut for content dedup at
+    100 TB).  Output key column is then ``key_digest``; callers join
+    ``keep_id`` back to the corpus when they need the text.  DuckDB twin of
+    the digest: ``MD5_HASH60_SQL`` over the same concat — digest-equal on
+    both engines even in the (2^-60) collision case, so oracles stay
+    hash-identical.
     """
+    if digest_text:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols
+        ]
+        key = md5_hash60(F.concat_ws("\x1f", *parts))
+        return (
+            df.select(key.alias("key_digest"), F.col(id_col))
+            .groupBy("key_digest")
+            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        )
     return df.groupBy(*key_cols).agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
 
 
@@ -637,17 +657,20 @@ def repetition_scores(
     opposite directions, CLAUDE.md math rule), and the hottest gram's
     multiplicity.
 
-    Plan: explode grams → (doc, gram) count with map-side partial
-    aggregation → per-doc re-aggregate.  Both shuffles carry (id, gram
-    hash-sized) rows only; at 100 TB hash the gram to a 64-bit digest first
-    so the shuffle never carries text (same digest-first note as
-    ``exact_dedup``).
+    Plan: explode grams → project each gram to a 60-bit portable md5 digest
+    IN THE SAME MAP STAGE → (doc, digest) count with map-side partial
+    aggregation → per-doc re-aggregate.  Neither exchange carries text: the
+    first shuffles (id, 8-byte digest) rows — at 100 TB that is the
+    difference between shuffling ~10x the corpus text and shuffling a fixed
+    16 bytes per gram.  The digest is the md5 twin (``md5_hash60``) so the
+    DuckDB oracle groups by the identical value — multiplicity counts agree
+    on both engines even in the negligible-collision case.
     """
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(ngram_grams(F.col(text_col), n)).alias("gram"),
-    )
-    per_gram = grams.groupBy("_id", "gram").agg(F.count("*").alias("c"))
+    ).select("_id", md5_hash60(F.col("gram")).alias("gram_h"))
+    per_gram = grams.groupBy("_id", "gram_h").agg(F.count("*").alias("c"))
     return per_gram.groupBy("_id").agg(
         F.sum("c").alias("n_grams"),
         F.count("*").alias("n_distinct_grams"),

@@ -26,6 +26,29 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, ["lang", "n_chars"], "doc_id")
 
 
+@register(
+    "exact_text_dedup",
+    f"""
+    SELECT {dedup.MD5_HASH60_SQL.format(x="coalesce(text, '')")} AS text_digest,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY text_digest
+    """,
+    doc="Exact CONTENT dedup — the wide-key path of exact_dedup: the "
+        "grouping key is a 60-bit portable md5 digest of the full document "
+        "text computed in the map stage, so the one hash shuffle carries "
+        "8 bytes per row instead of the document (operators/dedup.py "
+        "exact_dedup digest_text=True).  keep_id is the first-seen (min "
+        "doc_id) survivor a pipeline joins back to fetch the text.",
+)
+def exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, ["text"], "doc_id", digest_text=True).select(
+        F.col("key_digest").alias("text_digest"), "keep_id", "n_dups"
+    )
+
+
 _JACCARD_ORACLE = """
 WITH idx AS (
   SELECT doc_id AS _id, unnest(shingles) AS shingle
@@ -493,7 +516,11 @@ def _repetition_ctes(src: str = "documents") -> str:
         ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS gram
       FROM rep_toks
     ),
-    rep_cnts AS (SELECT doc_id, gram, count(*) AS c FROM rep_grams GROUP BY doc_id, gram),
+    rep_cnts AS (
+      SELECT doc_id, {dedup.MD5_HASH60_SQL.format(x='gram')} AS gram_h,
+             count(*) AS c
+      FROM rep_grams GROUP BY doc_id, gram_h
+    ),
     rep AS (
       SELECT doc_id,
              CAST(sum(c) AS BIGINT) AS n_grams,
@@ -639,28 +666,44 @@ TOP_PASSAGES = 25
                     i -> array_to_string(toks[i:i+{PASSAGE_N - 1}], ' '))) AS passage
       FROM toks WHERE len(toks) >= {PASSAGE_N}
     ),
+    hashed AS (
+      SELECT doc_id, {dedup.MD5_HASH60_SQL.format(x='passage')} AS p_h, passage
+      FROM grams
+    ),
     per_doc AS (
-      SELECT passage, doc_id, count(*) AS c FROM grams GROUP BY passage, doc_id
+      SELECT p_h, doc_id, count(*) AS c FROM hashed GROUP BY p_h, doc_id
+    ),
+    topk AS (
+      SELECT p_h,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(c) AS BIGINT) AS n_occurrences
+      FROM per_doc
+      GROUP BY p_h
+      HAVING count(*) >= 2
+      ORDER BY n_docs DESC, n_occurrences DESC, p_h ASC
+      LIMIT {TOP_PASSAGES}
+    ),
+    disp AS (
+      SELECT h.p_h, min(h.passage) AS passage
+      FROM hashed h JOIN topk USING (p_h)
+      GROUP BY h.p_h
     )
-    SELECT passage,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(c) AS BIGINT) AS n_occurrences
-    FROM per_doc
-    GROUP BY passage
-    HAVING count(*) >= 2
-    ORDER BY n_docs DESC, n_occurrences DESC, passage ASC
-    LIMIT {TOP_PASSAGES}
+    SELECT d.passage, t.n_docs, t.n_occurrences
+    FROM topk t JOIN disp d USING (p_h)
+    ORDER BY t.n_docs DESC, t.n_occurrences DESC, d.passage ASC
     """,
     doc="Cross-document repeated passages: word 8-grams WITH positions "
         "collapsed to (passage, doc) counts, kept when shared by >= 2 "
         "distinct docs, top-25 by spread — the memorization-risk / "
         "boilerplate diagnostic that doc-level sketches cannot see "
         "(two mostly-different docs sharing one verbatim paragraph). "
-        "Plan: explode -> (passage, doc) map-side-combined count -> "
-        "per-passage re-aggregate (the same two-shuffle shape as "
-        "repetition_scores, so no countDistinct expand); at 100 TB hash "
-        "the passage to a 64-bit digest for the shuffle and join the "
-        "top survivors back for display text.",
+        "Digest-first plan (round 5): passages are projected to 60-bit "
+        "portable md5 digests in the map stage, so BOTH count shuffles "
+        "carry (8-byte digest, doc) rows and never text; the 25 survivor "
+        "digests are broadcast back against a second scan to recover "
+        "display text (min(passage) per digest — ASCII-only tokens, so "
+        "min agrees across engines).  Selection tie-break is the digest; "
+        "display order is by passage text.",
 )
 def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
@@ -680,16 +723,35 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("passage"),
         )
     )
-    per_doc = exploded.groupBy("passage", "doc_id").agg(F.count("*").alias("c"))
-    return (
-        per_doc.groupBy("passage")
+    hashed = exploded.select(
+        "doc_id", dedup.md5_hash60(F.col("passage")).alias("p_h")
+    )
+    per_doc = hashed.groupBy("p_h", "doc_id").agg(F.count("*").alias("c"))
+    topk = (
+        per_doc.groupBy("p_h")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("c").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= 2)
-        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("passage"))
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("p_h"))
         .limit(TOP_PASSAGES)
+    )
+    # Recover display text for the <=25 survivors: broadcast the digest set
+    # against a second map-stage scan (no wide shuffle — only matching rows
+    # reach the tiny min(passage) aggregate).
+    disp = (
+        exploded.select(
+            dedup.md5_hash60(F.col("passage")).alias("p_h"), "passage"
+        )
+        .join(F.broadcast(topk.select("p_h")), "p_h")
+        .groupBy("p_h")
+        .agg(F.min("passage").alias("passage"))
+    )
+    return (
+        topk.join(F.broadcast(disp), "p_h")
+        .select("passage", "n_docs", "n_occurrences")
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("passage"))
     )
 
 

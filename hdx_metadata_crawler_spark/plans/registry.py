@@ -90,6 +90,7 @@ _PRIORITY_NAMES = [
     "doc_repetition_score",
     "duplicate_passages",
     "exact_dedup_groups",
+    "exact_text_dedup",
     # ---- flagship per-family block (kept from round 4; families that would
     # otherwise land past slot 50 under plain import order).
     # blocks (RDLS assembly pipeline)
@@ -129,7 +130,6 @@ _PRIORITY_NAMES = [
     "shard_manifest",
     "bpe_merge_candidates",
     "tfidf_top_terms",
-    "source_length_percentiles",
     "embedding_norm_stats",
 ]
 

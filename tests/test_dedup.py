@@ -302,3 +302,94 @@ def test_ngram_decontaminate_overlap_and_zero_rows(spark):
         "c2": (4, 0, 0, False),
         "c3": (1, 0, 0, False),
     }
+
+
+def test_exact_dedup_digest_text_path(spark):
+    """digest_text=True must group identically to the plain path (same
+    keep_id / n_dups per group) while keying on the 8-byte portable digest."""
+    df = spark.createDataFrame(
+        [(1, "same body"), (2, "same body"), (3, "other body"), (4, None)],
+        ["id", "text"],
+    )
+    out = {
+        r["keep_id"]: r["n_dups"]
+        for r in dedup.exact_dedup(df, ["text"], "id", digest_text=True).collect()
+    }
+    assert out == {1: 2, 3: 1, 4: 1}
+    # NULL text pins to '' — a second NULL row joins doc 4's group
+    df2 = df.union(spark.createDataFrame([(5, None)], "id long, text string"))
+    out2 = {
+        r["keep_id"]: r["n_dups"]
+        for r in dedup.exact_dedup(df2, ["text"], "id", digest_text=True).collect()
+    }
+    assert out2 == {1: 2, 3: 1, 4: 2}
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _agg_key_lines(final: str) -> list[str]:
+    import re
+
+    return re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", final)
+
+
+def test_repetition_scores_digest_first_plan(spark):
+    """Digest-first contract (round 5): neither count exchange may key on or
+    carry gram TEXT — every hash-aggregate key set and every exchange
+    partitioning is over (_id, gram_h) only.  At 100 TB the (doc, gram)
+    shuffle is ~10x corpus text if grams shuffle raw; the 8-byte digest is
+    the whole point."""
+    import re
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c a b c a b c"), ("d2", "x y z w v u")], ["doc_id", "text"]
+    )
+    final = _final_plan(dedup.repetition_scores(docs, "doc_id", "text", n=3))
+    keys = _agg_key_lines(final)
+    assert keys, f"expected hash aggregates in plan:\n{final}"
+    for k in keys:
+        assert not re.search(r"\bgram#\d+", k), f"text gram in agg keys: {k}"
+    for ln in final.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert not re.search(r"\bgram#\d+", ln), f"text gram in exchange: {ln}"
+
+
+def test_duplicate_passages_digest_first_plan(spark):
+    """The two big count shuffles of duplicate_passages key on the passage
+    DIGEST; passage text appears only in the broadcast-filtered survivor
+    join-back (min(passage) over <= top-k digests), never as an exchange
+    partitioning or a count-aggregate key."""
+    import re
+
+    from tests.conftest import SF_SMALL
+    from hdx_metadata_crawler_spark.plans.queries_dedup import duplicate_passages
+
+    final = _final_plan(duplicate_passages(spark, SF_SMALL))
+    for ln in final.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert not re.search(r"\bpassage#\d+", ln), (
+                f"passage text used as shuffle key: {ln}"
+            )
+    for k in _agg_key_lines(final):
+        assert not re.search(r"\bpassage#\d+", k), (
+            f"passage text used as aggregate key: {k}"
+        )
+
+
+def test_exact_text_dedup_digest_first_plan(spark):
+    """exact_dedup's wide-key path: the single hash shuffle keys on the
+    60-bit digest, not the document text."""
+    import re
+
+    from tests.conftest import SF_SMALL
+    from hdx_metadata_crawler_spark.plans.queries_dedup import exact_text_dedup
+
+    final = _final_plan(exact_text_dedup(spark, SF_SMALL))
+    assert "key_digest" in final or "text_digest" in final
+    for ln in final.splitlines():
+        if "Exchange hashpartitioning" in ln or "HashAggregate(keys=" in ln:
+            assert not re.search(r"\btext#\d+", ln), f"raw text in {ln}"
