@@ -115,6 +115,9 @@ HEADLINE = [
     "quality_keep_rates",
     "embedding_norm_stats",
     "neardup_consensus",
+    # round 5: content-dedup digest path + streaming quality circuit-breaker
+    "exact_text_dedup",
+    "stream_quality_gate",
 ]
 
 

@@ -204,6 +204,53 @@ def quality_keep_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_gate_oracle() -> str:
+    from ..streaming.stateful import TRIP_KEEP_BP_FLOOR, TRIP_MIN_DOCS
+
+    # Under availableNow on one parquet file the stream is ONE micro-batch,
+    # so each source emits exactly one cumulative row == the batch keep-rate
+    # report; the trip rule is interpolated from the SAME constants the
+    # state function applies (shared-constants rule).
+    return f"""
+    SELECT source, n_docs, n_keep, keep_bp,
+           (n_docs >= {TRIP_MIN_DOCS} AND keep_bp < {TRIP_KEEP_BP_FLOOR})
+             AS tripped
+    FROM ({_keep_rates_oracle()})
+    """
+
+
+@register(
+    "stream_quality_gate",
+    _stream_gate_oracle(),
+    doc="Streaming Gopher quality gate (round 5): documents arrive as a "
+        "Structured-Streaming source, the per-doc Gopher verdict is "
+        "computed map-only INSIDE the stream from the shared batch "
+        "builders, and applyInPandasWithState keyed by source maintains "
+        "cumulative keep/drop counters in the checkpointed state store — "
+        "emitting a running keep-rate row plus a circuit-breaker verdict "
+        "(>= 20 docs AND keep_bp < 3500 trips) each micro-batch the source "
+        "appears in.  The live form of quality_keep_rates: state is two "
+        "longs per source, the stateful shuffle carries (source, bool), "
+        "and counters survive restarts (see "
+        "test_quality_gate_state_survives_across_runs).",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import quality_gate_stream
+    from .queries_streaming import drain_stream_to_memory, stream_table
+
+    docs = stream_table(spark, sf_dir, "documents")
+    fl = gopher_pass(
+        gopher_metrics(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+    )
+    flagged = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        fl["keep"].alias("keep"),
+    )
+    return drain_stream_to_memory(
+        spark, quality_gate_stream(flagged), "stream_qgate"
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish tokenizer profile
 # ---------------------------------------------------------------------------

@@ -139,3 +139,71 @@ def first_seen_dedup_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate: per-source cumulative Gopher keep/drop counters
+# ---------------------------------------------------------------------------
+
+QUALITY_OUTPUT_SCHEMA = (
+    "source string, n_docs long, n_keep long, keep_bp long, tripped boolean"
+)
+QUALITY_STATE_SCHEMA = "n_docs long, n_keep long"
+
+# Circuit-breaker rule: a source trips once it has delivered enough docs to
+# judge (TRIP_MIN_DOCS) and its cumulative keep rate sits below the floor.
+# Shared constants — the registry oracle interpolates THESE (never retyped).
+TRIP_MIN_DOCS = 20
+TRIP_KEEP_BP_FLOOR = 3500
+
+
+def _quality_gate_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_docs, n_keep = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        if len(pdf):
+            n_docs += int(len(pdf))
+            # keep arrives pre-computed JVM-side; treat NULL as drop so one
+            # malformed row can never fail the whole streaming query
+            n_keep += int(pdf["keep"].fillna(False).astype(bool).sum())
+    state.update((n_docs, n_keep))
+    keep_bp = (n_keep * 10000) // n_docs if n_docs else 0
+    yield pd.DataFrame(
+        [
+            {
+                "source": key[0],
+                "n_docs": n_docs,
+                "n_keep": n_keep,
+                "keep_bp": keep_bp,
+                "tripped": bool(
+                    n_docs >= TRIP_MIN_DOCS and keep_bp < TRIP_KEEP_BP_FLOOR
+                ),
+            }
+        ],
+        columns=["source", "n_docs", "n_keep", "keep_bp", "tripped"],
+    )
+
+
+def quality_gate_stream(flagged: DataFrame) -> DataFrame:
+    """Streaming Gopher quality gate: flagged(source, keep) readStream ->
+    one cumulative row per source per micro-batch that contained it, with
+    running keep/drop totals and a circuit-breaker verdict.
+
+    This is the live form of ``quality_keep_rates``: the per-doc Gopher
+    verdict is pure column algebra computed in the map stage BEFORE this
+    operator (shared builders in operators/curation.py — the stream and the
+    batch report can never drift), so the stateful shuffle carries only
+    (source, boolean) and the checkpointed state is two longs per source.
+    A source whose cumulative keep rate collapses below the floor trips the
+    gate in the same micro-batch its counters cross the rule — the signal
+    an ingest pipeline uses to quarantine a feed, without re-scanning
+    history (state survives micro-batches AND restarts; see the restart
+    test).  Shuffle key = source; state size is O(#sources), not O(docs)."""
+    return flagged.groupBy("source").applyInPandasWithState(
+        _quality_gate_fn,
+        outputStructType=QUALITY_OUTPUT_SCHEMA,
+        stateStructType=QUALITY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

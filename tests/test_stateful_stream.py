@@ -143,3 +143,72 @@ def test_media_firstseen_state_survives_across_runs(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _run_gate_once(spark, src_dir: str, ckpt: str, out_dir: str):
+    from hdx_metadata_crawler_spark.streaming.stateful import quality_gate_stream
+
+    schema = "source string, keep boolean"
+    return _run_stateful_once(
+        spark, src_dir, ckpt, out_dir, schema, quality_gate_stream
+    )
+
+
+def test_quality_gate_state_survives_across_runs(spark):
+    """The per-source cumulative keep/drop counters must be restored from
+    the checkpointed state store on restart: run 2's emitted rows report
+    run-1 + run-2 TOTALS, and the circuit-breaker trips exactly when the
+    cumulative (not per-batch) counters cross the rule."""
+    from hdx_metadata_crawler_spark.streaming.stateful import (
+        TRIP_KEEP_BP_FLOOR,
+        TRIP_MIN_DOCS,
+    )
+
+    src = tempfile.mkdtemp(prefix="qgate_src_")
+    ckpt = tempfile.mkdtemp(prefix="qgate_ckpt_")
+    out = tempfile.mkdtemp(prefix="qgate_out_")
+    try:
+        # run 1: srcA sends 15 docs, 12 keep (80%) — below TRIP_MIN_DOCS,
+        # cannot trip yet regardless of rate.  srcB sends 15 docs, all drop.
+        batch1 = pd.DataFrame(
+            {
+                "source": ["srcA"] * 15 + ["srcB"] * 15,
+                "keep": [True] * 12 + [False] * 3 + [False] * 15,
+            }
+        )
+        spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(src)
+        out1 = {r["source"]: r for r in _run_gate_once(spark, src, ckpt, out)}
+        assert out1["srcA"]["n_docs"] == 15 and out1["srcA"]["n_keep"] == 12
+        assert out1["srcB"]["n_docs"] == 15 and out1["srcB"]["n_keep"] == 0
+        assert not out1["srcA"]["tripped"], "under the doc floor — no verdict"
+        assert not out1["srcB"]["tripped"], "under the doc floor — no verdict"
+
+        # run 2 (restart, same checkpoint): 10 more docs each.  srcA stays
+        # healthy (cumulative 20/25 = 8000 bp); srcB crosses TRIP_MIN_DOCS
+        # with cumulative 2/25 = 800 bp and MUST trip — but only because
+        # run-1 counters were restored (its run-2 batch alone is 2/10).
+        batch2 = pd.DataFrame(
+            {
+                "source": ["srcA"] * 10 + ["srcB"] * 10,
+                "keep": [True] * 8 + [False] * 2 + [True] * 2 + [False] * 8,
+            }
+        )
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src)
+        rows = _run_gate_once(spark, src, ckpt, out)
+        # parquet sink accumulates: pick each source's highest-n_docs row
+        latest = {}
+        for r in rows:
+            if r["source"] not in latest or r["n_docs"] > latest[r["source"]]["n_docs"]:
+                latest[r["source"]] = r
+        a, b = latest["srcA"], latest["srcB"]
+        assert (a["n_docs"], a["n_keep"], a["keep_bp"]) == (25, 20, 8000)
+        assert (b["n_docs"], b["n_keep"], b["keep_bp"]) == (25, 2, 800)
+        assert not a["tripped"]
+        assert b["tripped"], (
+            f"cumulative 800 bp over {TRIP_MIN_DOCS}+ docs must trip "
+            f"(floor {TRIP_KEEP_BP_FLOOR})"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
