@@ -23,10 +23,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
+import itertools
 import threading
 
-# serializes connected_components' session-conf narrow/restore (see its body)
+# serializes connected_components' global-temp-view handoff (see its body);
+# the counter keeps concurrent loops' view names collision-free
 _CC_CONF_LOCK = threading.Lock()
+_CC_VIEW_SEQ = itertools.count()
 
 
 def shingles(text_col: Column, n: int = 3) -> Column:
@@ -459,23 +462,35 @@ def connected_components(
     n_edges = sym.count()
     base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_parts = max(1, min(base_parts, -(-n_edges // rows_per_partition)))
-    adj = sym.repartition(n_parts, "dst").persist()
     # The loop's shuffle width comes from spark.sql.shuffle.partitions:
     # explicit per-frame repartition(n_parts, key) was tried and REJECTED
     # by measurement — EnsureRequirements re-exchanges joins at the session
     # width anyway (localCheckpoint does not preserve outputPartitioning,
     # and co-partitioned inputs of different widths get re-shuffled), so
     # the explicit form paid the conf-width exchanges PLUS its own
-    # (+1.7-2.4 s/query at sf0.1).  The conf is session-global, so the
-    # narrow/restore pair runs under a module lock: reentrant calls in one
-    # process can never interleave read-conf/set-conf and leave the
-    # session permanently narrowed, and the restore sits in a finally.
-    # Transient effect remains by design: OTHER queries issued on the same
-    # session from other threads while a CC loop is live would plan their
-    # shuffles at n_parts — acceptable for a bounded loop, and correct.
+    # (+1.7-2.4 s/query at sf0.1).  Round 5: the narrowing is SESSION-
+    # SCOPED — the whole loop plans on a child ``spark.newSession()``
+    # (shared SparkContext / SharedState, so the cache manager still serves
+    # the persisted edge list, but runtime SQL confs are per-session), and
+    # the edge list crosses sessions through a global temp view.  Queries
+    # issued concurrently on the caller's session therefore NEVER plan at
+    # the narrowed width (pinned by
+    # tests/test_dedup.py::test_cc_loop_does_not_narrow_caller_session);
+    # the module lock stays as belt-and-braces for the shared global-temp
+    # namespace.  The returned labels frame is re-bound to the caller's
+    # session the same way (the view resolves eagerly, so dropping it
+    # after binding is safe).
+    cc_spark = spark.newSession()
+    cc_spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     with _CC_CONF_LOCK:
+        edge_view = f"cc_edges_{next(_CC_VIEW_SEQ)}"
+        sym.createOrReplaceGlobalTempView(edge_view)
+        adj = (
+            cc_spark.table(f"global_temp.{edge_view}")
+            .repartition(n_parts, "dst")
+            .persist()
+        )
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             labels = (
                 adj.select(F.col("src").alias("id"))
                 .distinct()
@@ -534,7 +549,14 @@ def connected_components(
                 changed = obs.get["changed"]
                 labels = new_labels.select("id", "comp")
                 if changed == 0:
-                    return labels
+                    out_view = f"cc_labels_{next(_CC_VIEW_SEQ)}"
+                    labels.createOrReplaceGlobalTempView(out_view)
+                    try:
+                        # eager analysis binds the checkpointed labels into
+                        # the caller's session before the view disappears
+                        return spark.table(f"global_temp.{out_view}")
+                    finally:
+                        spark.catalog.dropGlobalTempView(out_view)
             raise RuntimeError(
                 f"connected_components did not converge in {max_iters} rounds — "
                 "pointer jumping bounds rounds at O(log n), so this indicates a "
@@ -543,7 +565,7 @@ def connected_components(
         finally:
             sym.unpersist()
             adj.unpersist()
-            spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
+            spark.catalog.dropGlobalTempView(edge_view)
 
 
 def hamming64(a: Column, b: Column) -> Column:

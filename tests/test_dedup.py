@@ -393,3 +393,42 @@ def test_exact_text_dedup_digest_first_plan(spark):
     for ln in final.splitlines():
         if "Exchange hashpartitioning" in ln or "HashAggregate(keys=" in ln:
             assert not re.search(r"\btext#\d+", ln), f"raw text in {ln}"
+
+
+def test_cc_loop_does_not_narrow_caller_session(spark):
+    """Round 5: connected_components narrows spark.sql.shuffle.partitions on
+    a CHILD session only — the caller's session conf must read its original
+    value at every instant while the loop is live (concurrent queries used
+    to plan at the narrowed width)."""
+    import threading
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    # long chain -> several propagation+jump rounds -> a real observation
+    # window while the loop runs in the worker thread
+    chain = [(i, i + 1) for i in range(400)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    result: dict = {}
+    observed: list[str] = []
+    done = threading.Event()
+
+    def run():
+        try:
+            result["labels"] = {
+                r["id"]: r["comp"]
+                for r in dedup.connected_components(pairs).collect()
+            }
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run)
+    t.start()
+    while not done.is_set():
+        observed.append(spark.conf.get("spark.sql.shuffle.partitions"))
+    t.join()
+    assert observed, "poller must sample during the loop"
+    assert set(observed) == {base}, (
+        f"caller session width changed during CC loop: {set(observed)}"
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base
+    assert result["labels"] == {i: 0 for i in range(401)}, "chain is one component"
