@@ -432,3 +432,37 @@ def test_cc_loop_does_not_narrow_caller_session(spark):
     )
     assert spark.conf.get("spark.sql.shuffle.partitions") == base
     assert result["labels"] == {i: 0 for i in range(401)}, "chain is one component"
+
+
+def test_cc_share_memo_is_session_and_sf_scoped(spark):
+    """The CC-family memo must (a) serve repeat calls from the same session
+    the SAME frame, (b) rebuild rather than serve an entry owned by another
+    session, and (c) key by sf_dir."""
+    from hdx_metadata_crawler_spark.plans import queries_dedup as qd
+
+    calls = []
+
+    def build(tag):
+        def _b():
+            calls.append(tag)
+            return spark.range(1)
+
+        return _b
+
+    key_dir = "/tmp/_cc_share_test_a"
+    with qd._CC_SHARE_LOCK:
+        qd._CC_SHARE.pop(("t", key_dir), None)
+    a1 = qd._cc_share(spark, key_dir, "t", build("a"))
+    a2 = qd._cc_share(spark, key_dir, "t", build("a"))
+    assert a1 is a2 and calls == ["a"]
+    # different sf_dir -> its own entry
+    qd._cc_share(spark, "/tmp/_cc_share_test_b", "t", build("b"))
+    assert calls == ["a", "b"]
+    # entry owned by a foreign session object -> rebuilt, not served
+    with qd._CC_SHARE_LOCK:
+        qd._CC_SHARE[("t", key_dir)] = (object(), a1)
+    qd._cc_share(spark, key_dir, "t", build("a"))
+    assert calls == ["a", "b", "a"]
+    with qd._CC_SHARE_LOCK:
+        qd._CC_SHARE.pop(("t", key_dir), None)
+        qd._CC_SHARE.pop(("t", "/tmp/_cc_share_test_b"), None)
