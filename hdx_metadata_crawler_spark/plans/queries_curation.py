@@ -501,6 +501,35 @@ def _curation_funnel_oracle() -> str:
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    wide = _funnel_stage_flags(spark, sf_dir)
+    aggs = []
+    for i in range(1, 9):
+        ci = F.col(f"c{i}")
+        aggs.append(F.sum(ci.cast("long")).alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(ci, F.col("n_toks")).otherwise(F.lit(0))).alias(f"t{i}")
+        )
+    sums = wide.agg(*aggs)
+    stack_expr = ", ".join(
+        f"{i + 1}, '{name}', n{i + 1}, t{i + 1}"
+        for i, name in enumerate(CURATION_STAGES)
+    )
+    stacked = sums.selectExpr(
+        f"stack(8, {stack_expr}) as (stage_order, stage, n_docs, n_tokens)"
+    )
+    w = Window.orderBy("stage_order")
+    return stacked.withColumn(
+        "monotone_ok",
+        F.coalesce(F.col("n_docs") <= F.lag("n_docs").over(w), F.lit(True)),
+    )
+
+
+def _funnel_stage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cumulative stage flags (doc_id, n_toks, c1..c8) — the whole
+    funnel dataflow except the final aggregate.  Split out so the subset
+    property test can assert c_{{i+1}} => c_i PER DOCUMENT on a randomized
+    corpus (count monotonicity alone could pass a reordered-flag bug by
+    coincidence)."""
     from ..operators import dedup, sampling
     from ..operators.curation import REP_MAX_BP
     from .queries_dedup import eval_split_col
@@ -576,26 +605,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c8", F.col("c7") & F.col("s8x"))
         .withColumn("c1", F.lit(True))
     )
-    aggs = []
-    for i in range(1, 9):
-        ci = F.col(f"c{i}")
-        aggs.append(F.sum(ci.cast("long")).alias(f"n{i}"))
-        aggs.append(
-            F.sum(F.when(ci, F.col("n_toks")).otherwise(F.lit(0))).alias(f"t{i}")
-        )
-    sums = wide.agg(*aggs)
-    stack_expr = ", ".join(
-        f"{i + 1}, '{name}', n{i + 1}, t{i + 1}"
-        for i, name in enumerate(CURATION_STAGES)
-    )
-    stacked = sums.selectExpr(
-        f"stack(8, {stack_expr}) as (stage_order, stage, n_docs, n_tokens)"
-    )
-    w = Window.orderBy("stage_order")
-    return stacked.withColumn(
-        "monotone_ok",
-        F.coalesce(F.col("n_docs") <= F.lag("n_docs").over(w), F.lit(True)),
-    )
+    return wide
 
 
 # ---------------------------------------------------------------------------

@@ -271,13 +271,16 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            len(embedding) AS n_dims,
-           round(sqrt(list_dot_product(
+           -- coalesce: DuckDB's list_dot_product is NULL for an empty list,
+           -- while Spark's fold returns 0.0 (ADVICE r04 — the empty-vector
+           -- edge must match the fold semantics on both sides)
+           round(sqrt(coalesce(list_dot_product(
                  list_transform(embedding, v -> CAST(v AS DOUBLE)),
-                 list_transform(embedding, v -> CAST(v AS DOUBLE)))), 4)
+                 list_transform(embedding, v -> CAST(v AS DOUBLE))), 0.0)), 4)
              AS l2_norm,
-           (list_dot_product(
+           (coalesce(list_dot_product(
                  list_transform(embedding, v -> CAST(v AS DOUBLE)),
-                 list_transform(embedding, v -> CAST(v AS DOUBLE))) = 0)
+                 list_transform(embedding, v -> CAST(v AS DOUBLE))), 0.0) = 0)
              AS is_zero,
            len(list_filter(embedding,
                            v -> isnan(CAST(v AS DOUBLE))

@@ -610,7 +610,19 @@ TFIDF_TOP_K = 3
         "keyed on token -> per-doc row_number window. Both aggregates are "
         "map-side combined; the corpus count rides a broadcast 1-row cross "
         "join, not a driver round-trip; at 100 TB the only wide shuffles "
-        "key on token (vocabulary-sized) and doc_id.",
+        "key on token (vocabulary-sized) and doc_id. ACCEPTED ULP RISK "
+        "(ADVICE r04, documented per the oracle-parity rules): this is the "
+        "one query whose determinism rests on a transcendental — parity "
+        "needs java.lang.Math.log and DuckDB's libm ln to agree after 4-dp "
+        "rounding, which fails only if a raw score lies within ~1 ulp "
+        "(~1e-15) of a .00005 boundary (p ~ 1e-11 per value; both libraries "
+        "are <=1-ulp implementations). Exact-integer ranking is NOT "
+        "available here: comparing tf1*ln(A/d1) vs tf2*ln(A/d2) exactly is "
+        "a big-integer power comparison, and ranking on (tf, df) alone "
+        "would change the semantics from TF-IDF to a proxy. "
+        "tests/test_round4_queries.py::test_tfidf_scores_clear_rounding_"
+        "boundaries pins that no score on the graded fixtures sits near a "
+        "boundary, so the risk cannot fire on driver data.",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

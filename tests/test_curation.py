@@ -243,3 +243,106 @@ def test_curation_funnel_monotone_and_anchored(spark):
     assert rows["neardup_survivor"]["n_docs"] < rows["exact_unique"]["n_docs"]
     assert rows["mix_sampled"]["n_docs"] < rows["decontaminated"]["n_docs"]
     assert rows["mix_sampled"]["n_docs"] > 0
+
+
+def test_funnel_stage_keep_sets_are_nested_subsets(spark, tmp_path):
+    """Round 5 (verdict item 8): every stage's keep-SET must be a subset of
+    the previous stage's, per document, on a randomized corpus — count
+    monotonicity alone could pass a reordered-flag bug by coincidence
+    (two stages swapping 1-for-1 keeps counts monotone)."""
+    import random
+
+    from hdx_metadata_crawler_spark.plans.queries_curation import (
+        _funnel_stage_flags,
+    )
+
+    rng = random.Random(20260819)
+    # 5-7 char words so healthy docs clear the mean-word-length floor (3.0)
+    vocab = [f"word{i:02d}" for i in range(40)]
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    rows = []
+    did = 0
+
+    def add(text, source):
+        nonlocal did
+        rows.append((did, text, "en", source, len(text)))
+        did += 1
+
+    for _ in range(60):
+        # mixed-quality docs: random length (some under the Gopher word
+        # floor), random stopword density, occasional numeric-only tokens
+        n = rng.choice([10, 30, 60, 120, 400])
+        words = [
+            rng.choice(stops) if rng.random() < 0.2 else rng.choice(vocab)
+            for _ in range(n)
+        ]
+        if rng.random() < 0.2:
+            words = ["12345" if rng.random() < 0.5 else w for w in words]
+        add(" ".join(words), f"s{rng.randrange(4)}")
+    # heavy intra-doc repetition (trips the rep_bp stage)
+    for _ in range(8):
+        add(" ".join(["loop phrase body here"] * 40), "s0")
+    # exact duplicate groups (trip the first-seen dedup stage)
+    for _ in range(6):
+        base = " ".join(
+            rng.choice(stops) if rng.random() < 0.25 else rng.choice(vocab)
+            for _ in range(80)
+        )
+        for _ in range(3):
+            add(base, f"s{rng.randrange(4)}")
+    # near-duplicates (trip the simhash component stage): one-token edits
+    seed_words = [
+        rng.choice(stops) if rng.random() < 0.25 else rng.choice(vocab)
+        for _ in range(90)
+    ]
+    for k in range(5):
+        w = list(seed_words)
+        w[k] = f"edit{k}"
+        add(" ".join(w), "s1")
+
+    # benchmark-leak plant (trips the decontamination stage): the eval split
+    # is a deterministic md5 ticket on doc_id, so compute it HERE and keep
+    # appending healthy docs carrying a shared verbatim phrase until the
+    # plant spans both sides of the split — >=1 eval doc (dictionary side)
+    # and >=3 non-eval docs (the contaminated survivors c7 must drop).
+    import hashlib
+
+    def is_eval(doc_id: int) -> bool:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) % 20 == 0
+
+    leak = "shared benchmark phrase alpha bravo charlie delta echo"
+    n_eval = n_noneval = 0
+    while n_eval < 1 or n_noneval < 3:
+        filler = " ".join(
+            rng.choice(stops) if rng.random() < 0.25 else rng.choice(vocab)
+            for _ in range(70)
+        )
+        side = is_eval(did)
+        add(f"{filler} {leak} unique{did} tail words here", "s2")
+        if side:
+            n_eval += 1
+        else:
+            n_noneval += 1
+
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    flags = _funnel_stage_flags(spark, str(tmp_path)).select(
+        "doc_id", *[f"c{i}" for i in range(1, 9)]
+    )
+    collected = flags.collect()
+    assert len(collected) == len(rows)
+    for r in collected:
+        chain = [r[f"c{i}"] for i in range(1, 9)]
+        for i in range(1, 8):
+            assert not (chain[i] and not chain[i - 1]), (
+                f"doc {r['doc_id']}: stage c{i + 1} keeps a doc stage "
+                f"c{i} dropped — flags {chain}"
+            )
+    # every filtering stage must actually fire on this corpus, or the
+    # subset assertion above is vacuous for it (c8/mix may keep everything
+    # a source's weight allows, so only c2..c7 are required to drop)
+    kept = {i: sum(1 for r in collected if r[f"c{i}"]) for i in range(1, 9)}
+    for i in range(2, 8):
+        assert kept[i] < kept[i - 1], f"stage c{i} dropped nothing: {kept}"

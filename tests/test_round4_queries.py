@@ -460,3 +460,43 @@ def test_tfidf_top_terms_rank_invariants(spark):
             )
         for r in rs:
             assert r["tf"] >= 1 and r["df"] >= 1
+
+
+def test_tfidf_scores_clear_rounding_boundaries(spark):
+    """The documented ulp risk (queries_text.tfidf_top_terms docstring): a
+    Spark/DuckDB parity flip needs a RAW score within ~1 ulp of a .00005
+    rounding boundary.  Pin that on BOTH graded fixtures every raw score
+    keeps a >= 1e-9 margin from its nearest boundary — six orders of
+    magnitude above the worst-case library disagreement — so the accepted
+    risk cannot fire on driver data."""
+    import math
+
+    from tests.conftest import SF_MEDIUM, SF_SMALL
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        n_total = docs.count()
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ).alias("token"),
+        )
+        tf = toks.groupBy("doc_id", "token").count().withColumnRenamed("count", "tf")
+        df_counts = tf.groupBy("token").count().withColumnRenamed("count", "df")
+        pairs = [
+            (r["tf"], r["df"])
+            for r in tf.join(df_counts, "token").select("tf", "df").distinct().collect()
+        ]
+        worst = 1.0
+        for tf_v, df_v in pairs:
+            raw = tf_v * math.log((n_total + 1.0) / (df_v + 1.0))
+            frac = abs(raw) * 10000.0
+            dist = abs(frac - math.floor(frac) - 0.5)
+            worst = min(worst, dist)
+        # dist is in rounded-score half-units: 0.5 == mid-cell, 0 == exactly
+        # on a .00005 boundary.  1e-5 half-units == 1e-9 in score units.
+        assert worst > 1e-5, f"score within {worst * 1e-4} of a boundary at {sf}"

@@ -213,3 +213,43 @@ def test_knn_bruteforce_refuses_large_query_side(spark):
     )
     with pytest.raises(ValueError, match="max_queries"):
         knn_bruteforce(vecs, vecs, k=3, max_queries=10)
+
+
+def test_embedding_norm_stats_empty_vector_oracle_parity(spark, tmp_path):
+    """ADVICE r04: DuckDB's list_dot_product is NULL over an empty list while
+    Spark's fold returns 0.0 — the oracle coalesces, so an empty embedding
+    must agree on BOTH sides (l2_norm 0.0, is_zero true)."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from verify_local import normalize_rows
+
+    from hdx_metadata_crawler_spark.plans.queries_similarity import (
+        embedding_norm_stats,
+    )
+    from hdx_metadata_crawler_spark.plans.registry import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, [0.5, -0.5]), (2, []), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    sdf = embedding_norm_stats(spark, sf)
+    srows = normalize_rows(sdf.columns, [r.asDict() for r in sdf.collect()])
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    rel = con.sql(REGISTRY["embedding_norm_stats"].oracle)
+    ocols = [d[0] for d in rel.description]
+    orows = normalize_rows(
+        ocols, [dict(zip(ocols, t)) for t in rel.fetchall()]
+    )
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert srows == orows
+    by_id = {r["vec_id"]: r for r in sdf.collect()}
+    assert by_id[2]["l2_norm"] == 0.0 and by_id[2]["is_zero"] is True
