@@ -94,33 +94,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard).
 
-    Plan: inverted index self-join on shingle → per-pair intersection count →
-    join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|).  The self-join
-    shuffles on the shingle; hot shingles are the skew risk at scale — AQE
-    skew-split handles moderate cases, and ``max_doc_freq`` is the
-    production lever: shingles appearing in more than that many documents
-    are dropped from the JOIN side before the self-join (a shingle in k docs
-    contributes k^2/2 join rows, so one corpus-wide stop-shingle otherwise
-    dominates the whole shuffle).  Per-doc sizes keep counting ALL shingles,
-    so capping only LOWERS intersection counts: estimated jaccard becomes a
-    lower bound and near-identical pairs (which share rare shingles too)
-    still surface — the cap trades tail recall for a bounded join, exactly
-    like MinHash banding.  ``None`` (the oracle default) is exact.
+    Plan: inverted index self-join on the SHINGLE DIGEST → per-pair
+    intersection count → join per-doc shingle counts →
+    |A∩B| / (|A|+|B|-|A∩B|).  Digest-first (round 5): the shingle is
+    projected to a 60-bit portable md5 digest in the map stage, so the
+    self-join exchange and the hot-shingle frequency aggregate shuffle
+    8-byte keys instead of n-gram text (the DuckDB oracle joins on the
+    identical digest, so even a 2^-60 collision stays hash-identical).
+    Hot shingles remain the skew risk at scale — AQE skew-split handles
+    moderate cases, and ``max_doc_freq`` is the production lever: shingles
+    appearing in more than that many documents are dropped from the JOIN
+    side before the self-join (a shingle in k docs contributes k^2/2 join
+    rows, so one corpus-wide stop-shingle otherwise dominates the whole
+    shuffle).  Per-doc sizes keep counting ALL shingles, so capping only
+    LOWERS intersection counts: estimated jaccard becomes a lower bound and
+    near-identical pairs (which share rare shingles too) still surface —
+    the cap trades tail recall for a bounded join, exactly like MinHash
+    banding.  ``None`` (the oracle default) is exact.
     """
-    idx = shingle_index(df, id_col, text_col, n)
+    idx = shingle_index(df, id_col, text_col, n).select(
+        "_id", md5_hash60(F.col("shingle")).alias("sh_h")
+    )
     sizes = idx.groupBy("_id").agg(F.count("*").alias("n_sh"))
     if max_doc_freq is not None:
         hot = (
-            idx.groupBy("shingle")
+            idx.groupBy("sh_h")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
+            .select("sh_h")
         )
-        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+        idx = idx.join(F.broadcast(hot), "sh_h", "left_anti")
     a = idx.alias("a")
     b = idx.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )

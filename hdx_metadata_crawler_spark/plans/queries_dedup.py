@@ -51,25 +51,28 @@ def exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
+_JACCARD_ORACLE = f"""
 WITH idx AS (
-  SELECT doc_id AS _id, unnest(shingles) AS shingle
+  SELECT _id, {dedup.MD5_HASH60_SQL.format(x='shingle')} AS sh_h
   FROM (
-    SELECT doc_id,
-           CASE WHEN len(toks) >= 3 THEN
-             list_distinct(list_transform(range(1, len(toks) - 1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-           ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
-    FROM (SELECT doc_id,
-                 list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
-                             t -> t <> '') AS toks
-          FROM documents)
+    SELECT doc_id AS _id, unnest(shingles) AS shingle
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+            FROM documents)
+    )
   )
 ),
 sizes AS (SELECT _id, count(*) AS n_sh FROM idx GROUP BY _id),
 inter AS (
   SELECT a._id AS id_a, b._id AS id_b, count(*) AS n_inter
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a._id < b._id
+  FROM idx a JOIN idx b ON a.sh_h = b.sh_h AND a._id < b._id
   GROUP BY a._id, b._id
 )
 SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,

@@ -466,3 +466,26 @@ def test_cc_share_memo_is_session_and_sf_scoped(spark):
     with qd._CC_SHARE_LOCK:
         qd._CC_SHARE.pop(("t", key_dir), None)
         qd._CC_SHARE.pop(("t", "/tmp/_cc_share_test_b"), None)
+
+
+def test_jaccard_join_digest_first_plan(spark):
+    """The inverted-index self-join and the hot-shingle frequency aggregate
+    must key on the 60-bit shingle digest, never shingle text."""
+    import re
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e f"), ("d2", "a b c d x y")], ["doc_id", "text"]
+    )
+    final = _final_plan(
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0,
+                                  max_doc_freq=50)
+    )
+    for ln in final.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert not re.search(r"\bshingle#\d+", ln), (
+                f"shingle text as shuffle key: {ln}"
+            )
+    for k in _agg_key_lines(final):
+        assert not re.search(r"\bshingle#\d+", k), (
+            f"shingle text as aggregate key: {k}"
+        )
