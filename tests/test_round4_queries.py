@@ -37,7 +37,11 @@ def test_plan_shapes_shuffle_counts(spark):
     # eval-side distinct (the corpus side joins the dictionary via
     # BroadcastExchange, which must NOT count as a shuffle)
     assert join_exchanges(bpe_merge_candidates(spark, SF_SMALL)) <= 2
-    assert join_exchanges(duplicate_passages(spark, SF_SMALL)) <= 3
+    # round 5: digest-first added the survivor text join-back (one tiny
+    # groupBy over rows surviving the broadcast digest filter — bounded by
+    # the top-k, not the corpus).  Corpus-scale shuffles remain the two
+    # digest-keyed count aggregates; the rest are top-k-sized.
+    assert join_exchanges(duplicate_passages(spark, SF_SMALL)) <= 4
     assert join_exchanges(benchmark_decontamination(spark, SF_SMALL)) <= 2
 
 
