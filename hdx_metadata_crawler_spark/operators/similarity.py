@@ -180,6 +180,7 @@ def cosine_pairs_block(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    extra_key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All-pairs cosine >= threshold via a distributed blocked self-join.
 
@@ -200,6 +201,12 @@ def cosine_pairs_block(
     inherently O(N^2) compute — at true 100 TB scale the LSH prefilter
     (``knn_lsh`` buckets) bounds the candidate set first and this kernel
     runs within buckets.
+
+    ``extra_key_cols`` restricts pairing to rows sharing those key columns
+    (the shuffle group becomes (*extra, gi, gj)) — this is how
+    ``semantic_dedup`` runs the kernel WITHIN each k-means cell: the O(N^2)
+    becomes O(sum of cell_size^2), and each extra key's blocks pair only
+    with blocks of the same key.
     """
     out_schema = StructType(
         [
@@ -210,7 +217,10 @@ def cosine_pairs_block(
     )
 
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
-    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk"))
+    extras = [F.col(k) for k in extra_key_cols]
+    c = corpus.select(
+        *extras, F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk")
+    )
     # Row in block b joins every group (min(b,o), max(b,o)) for o in 0..B-1:
     # exactly the B groups containing b, each exactly once ((b,b) only at o=b).
     membership = F.transform(
@@ -221,11 +231,14 @@ def cosine_pairs_block(
         ),
     )
     replicated = c.select(
-        "_id", "_vec", "_blk", F.explode(membership).alias("_g")
-    ).select("_id", "_vec", "_blk", F.col("_g.gi").alias("gi"), F.col("_g.gj").alias("gj"))
+        *extra_key_cols, "_id", "_vec", "_blk", F.explode(membership).alias("_g")
+    ).select(
+        *extra_key_cols, "_id", "_vec", "_blk",
+        F.col("_g.gi").alias("gi"), F.col("_g.gj").alias("gj"),
+    )
 
     def pairs_one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        gi, gj = key
+        gi, gj = key[-2], key[-1]
         a = pdf[pdf["_blk"] == gi]
         b = pdf[pdf["_blk"] == gj] if gi != gj else a
         if a.empty or b.empty:
@@ -268,7 +281,9 @@ def cosine_pairs_block(
             }
         )
 
-    return replicated.groupBy("gi", "gj").applyInPandas(pairs_one, out_schema)
+    return replicated.groupBy(*extra_key_cols, "gi", "gj").applyInPandas(
+        pairs_one, out_schema
+    )
 
 
 def cosine_neardup_lsh(
@@ -507,6 +522,73 @@ def knn_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 4,
+    init_hash_fn=None,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-shaped (Abbas et
+    al. 2023, arXiv:2303.09540): cluster the corpus with the deterministic
+    IVF coarse quantizer, then search for near-duplicates ONLY within each
+    cluster — the clustering bounds the pair candidates the way LSH buckets
+    do for ``cosine_neardup_lsh``, but with a semantic partition instead of
+    a random one, so the O(N^2) all-pairs collapses to O(sum cell_size^2).
+
+    Keep rule (deterministic): a vector is DROPPED iff some SAME-CELL vector
+    with a SMALLER id has cosine >= threshold (4-dp rounded, the repo-wide
+    cosine convention) — first-seen-by-id survives, matching the exact-dedup
+    family's first-seen semantics.  Chains are allowed (the smaller-id
+    survivor of a dropped vector may itself be dropped by an even smaller
+    one), exactly as in SemDeDup's per-cluster epsilon-ball pruning.
+
+    Scale shape: the quantizer is ``kmeans_centroids`` (per-pass Arrow
+    argmax vs the broadcast k x dim centroid block; only k x dim floats ever
+    reach the driver), assignment is one Arrow GEMM pass, and the pair
+    kernel is ``cosine_pairs_block`` keyed by (cell, block-pair) — peak task
+    memory two blocks of ONE cell, shuffle volume N x n_blocks rows.  At
+    100 TB the cell count rises with the corpus (cells ~ sqrt(N) keeps
+    cell_size^2 linear) and skewed mega-cells are already handled by the
+    block split within each cell.
+    """
+    centroids = kmeans_centroids(
+        corpus, dim, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        init_hash_fn=init_hash_fn,
+    )
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("ve")
+        )
+        .withColumn("cell", _assign_cell(F.col("ve"), centroids))
+        # consumed twice (pair kernel + final verdict join); checkpoint so
+        # the assignment GEMM and the source scan run once
+        .localCheckpoint(eager=True)
+    )
+    pairs = cosine_pairs_block(
+        assigned, threshold, id_col="vec_id", vec_col="ve",
+        n_blocks=n_blocks, extra_key_cols=("cell",),
+    )
+    # id_b is always the LARGER id of a qualifying pair -> the dropped side.
+    dropped = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.max("cos_sim").alias("max_prior_sim")
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("max_prior_sim").isNull().alias("keep"),
+            F.coalesce(F.col("max_prior_sim"), F.lit(0.0)).alias("max_prior_sim"),
+        )
     )
 
 

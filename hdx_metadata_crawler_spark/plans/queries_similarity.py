@@ -132,18 +132,15 @@ _NORM_CASE = (
 )
 
 
-def _ivf_oracle(
-    dim: int = 64, n_cells: int = 16, n_probe: int = 4, iters: int = 4,
-    k: int = 3,
-) -> str:
-    """Full SQL re-computation of knn_ivf — Lloyd's k-means IS expressible
-    as chained CTEs because every step is deterministic: portable md5 init
-    sample, then per iteration (normalize centroids → cosine argmax
-    assignment with first-max tie-break → per-cell raw-vector mean with
-    empty cells carrying the previous centroid), then cell-partitioned
-    probe and exact cosine.  Float64 on both sides; numpy-vs-SQL summation
-    order can flip an argmax only for a vector within ~1e-13 of a cell
-    boundary (never observed on the deterministic corpus)."""
+def _ivf_assign_ctes(dim: int = 64, n_cells: int = 16, iters: int = 4) -> list:
+    """Shared CTE chain re-computing the deterministic quantizer in SQL:
+    Lloyd's k-means (portable md5 init sample, per iteration normalize →
+    cosine argmax assignment with first-max tie-break → per-cell raw-vector
+    mean with empty cells carrying the previous centroid) ending at ``casg``
+    (vec_id → final cell) — the DuckDB twin of ``kmeans_centroids`` +
+    ``_assign_cell``.  Suffixes: knn_ivf adds probe/top-k, semantic_dedup
+    adds the within-cell pair prune.  ONE builder so the two oracles can
+    never drift (CLAUDE.md shared-constants rule)."""
     parts = [
         f"idx AS (SELECT unnest(range(1, {dim + 1})) AS i)",
         "vecs AS (SELECT vec_id, list_transform(embedding, "
@@ -200,6 +197,21 @@ def _ivf_oracle(
         FROM nvecs v CROSS JOIN ncent_fin c
       ) WHERE rn = 1
     )""",
+    ]
+    return parts
+
+
+def _ivf_oracle(
+    dim: int = 64, n_cells: int = 16, n_probe: int = 4, iters: int = 4,
+    k: int = 3,
+) -> str:
+    """Full SQL re-computation of knn_ivf over ``_ivf_assign_ctes``: the
+    quantizer CTEs, then cell-partitioned probe and exact cosine.  Float64
+    on both sides; numpy-vs-SQL summation order can flip an argmax only for
+    a vector within ~1e-13 of a cell boundary (never observed on the
+    deterministic corpus)."""
+    parts = _ivf_assign_ctes(dim=dim, n_cells=n_cells, iters=iters)
+    parts += [
         f"""qprobe AS (
       SELECT vec_id AS query_id, cell FROM (
         SELECT v.vec_id, c.cell,
@@ -262,6 +274,70 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     return similarity.knn_ivf(
         e, q, dim=64, k=3, n_cells=16, n_probe=4,
+        init_hash_fn=_portable_id_hash,
+    )
+
+
+SEMANTIC_DEDUP_THRESHOLD = 0.40  # the repo-wide embedding near-dup bar
+                                 # (cosine_neardup_exact / _lsh use the same)
+
+
+def _semantic_dedup_oracle(
+    threshold: float = SEMANTIC_DEDUP_THRESHOLD,
+    dim: int = 64, n_cells: int = 16, iters: int = 4,
+) -> str:
+    """semantic_dedup's DuckDB twin: the shared quantizer CTEs down to
+    ``casg``, then within-cell smaller-id pairs at >= threshold (COSINE_SQL
+    rounds 4 dp before the compare, matching the GEMM kernel's
+    ``np.round(sims, 4) >= t``) and the first-seen-by-id verdict."""
+    from ..operators.dedup import COSINE_SQL
+
+    cos = COSINE_SQL.format(a="av.ve", b="bv.ve")
+    parts = _ivf_assign_ctes(dim=dim, n_cells=n_cells, iters=iters)
+    parts += [
+        f"""sd_pairs AS (
+      SELECT b.vec_id AS vec_id, {cos} AS cos_sim
+      FROM casg a JOIN casg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN vecs av ON av.vec_id = a.vec_id
+      JOIN vecs bv ON bv.vec_id = b.vec_id
+      WHERE {cos} >= {threshold}
+    )""",
+        """sd_dropped AS (
+      SELECT vec_id, max(cos_sim) AS max_prior_sim
+      FROM sd_pairs GROUP BY vec_id
+    )""",
+    ]
+    cte = ",\n    ".join(parts)
+    return f"""
+    WITH {cte}
+    SELECT c.vec_id, c.cell,
+           (d.max_prior_sim IS NULL) AS keep,
+           coalesce(d.max_prior_sim, 0.0) AS max_prior_sim
+    FROM casg c LEFT JOIN sd_dropped d USING (vec_id)
+    """
+
+
+@register(
+    "semantic_dedup",
+    _semantic_dedup_oracle(),
+    doc="Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023, "
+        "arXiv:2303.09540 — cluster embeddings, prune near-duplicates "
+        "within clusters only): the SAME deterministic 16-cell quantizer as "
+        "knn_ivf assigns every vector a cell, then the blocked GEMM pair "
+        "kernel runs keyed by (cell, block-pair) and any vector with a "
+        "smaller-id same-cell neighbor at cosine >= 0.40 is dropped "
+        "(first-seen-by-id survives, chains allowed as in SemDeDup). "
+        "Emits the full per-vector verdict (vec_id, cell, keep, "
+        "max_prior_sim). Scale: clustering bounds candidates like LSH "
+        "buckets but semantically — O(sum cell_size^2) with cells ~ sqrt(N) "
+        "keeping it linear; mega-cells split by the block kernel. Oracle "
+        "re-runs quantizer, pairs and verdict as chained CTEs over the "
+        "shared _ivf_assign_ctes builder.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e, SEMANTIC_DEDUP_THRESHOLD, dim=64, n_cells=16, iters=4,
         init_hash_fn=_portable_id_hash,
     )
 

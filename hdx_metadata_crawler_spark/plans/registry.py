@@ -85,14 +85,21 @@ _PRIORITY_NAMES = [
     "socioeconomic_indicators",
     # round-5 additions (new this round -> never driver-sampled either)
     "stream_quality_gate",
+    "semantic_dedup",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles): the driver must re-confirm the value hash after the rewrite.
     "doc_repetition_score",
     "duplicate_passages",
     "exact_dedup_groups",
     "exact_text_dedup",
-    # ---- flagship per-family block (kept from round 4; families that would
-    # otherwise land past slot 50 under plain import order).
+]
+
+# Flagship per-family block (kept from round 4; families that would
+# otherwise land past slot 50 under plain import order).  Seated AFTER the
+# one-per-module samples: every entry here already has a driver-green r04
+# CORRECTNESS row, so when the must-sample block grows, it is these — not
+# the module coverage guarantee — that spill past the 50-slot window.
+_FLAGSHIP_NAMES = [
     # blocks (RDLS assembly pipeline)
     "exposure_block_assembly",
     "loss_block_assembly",
@@ -137,10 +144,13 @@ _PRIORITY_NAMES = [
 def _reorder_for_driver_window() -> None:
     """Rebuild REGISTRY so any 50-entry prefix samples every query module.
 
-    Order: (1) the pinned flagship block, (2) ONE query from every module
-    the flagship block does not already represent — this is what keeps the
-    guarantee as the flagship list grows toward the window size, (3) the
-    remainder round-robined one-per-module."""
+    Order: (1) the must-sample rotation block (never-driver-sampled +
+    plan-changed queries — the entries that NEED a driver row this round),
+    (2) ONE query from every module not already represented — this is what
+    keeps the guarantee as the must-sample list grows toward the window
+    size, (3) the flagship per-family block (all driver-green in r04, so
+    they are the right entries to spill past the window), (4) the remainder
+    round-robined one-per-module."""
     from collections import defaultdict
 
     ordered: dict[str, QuerySpec] = {}
@@ -150,12 +160,15 @@ def _reorder_for_driver_window() -> None:
     represented = {spec.fn.__module__ for spec in ordered.values()}
     by_module: dict[str, list[tuple[str, QuerySpec]]] = defaultdict(list)
     for name, spec in REGISTRY.items():
-        if name not in ordered:
+        if name not in ordered and name not in _FLAGSHIP_NAMES:
             by_module[spec.fn.__module__].append((name, spec))
     for m in sorted(by_module):
         if m not in represented and by_module[m]:
             name, spec = by_module[m].pop(0)
             ordered[name] = spec
+    for name in _FLAGSHIP_NAMES:
+        if name in REGISTRY and name not in ordered:
+            ordered[name] = REGISTRY[name]
     queues = [by_module[m] for m in sorted(by_module) if by_module[m]]
     while queues:
         for q in queues:

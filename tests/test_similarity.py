@@ -253,3 +253,103 @@ def test_embedding_norm_stats_empty_vector_oracle_parity(spark, tmp_path):
     assert srows == orows
     by_id = {r["vec_id"]: r for r in sdf.collect()}
     assert by_id[2]["l2_norm"] == 0.0 and by_id[2]["is_zero"] is True
+
+
+def test_blocked_pairs_extra_key_restricts_pairing(spark):
+    """cosine_pairs_block(extra_key_cols=("cell",)) must equal the brute-force
+    pair set RESTRICTED to same-cell pairs — cross-cell near-duplicates are
+    invisible by construction (that is semantic_dedup's SemDeDup contract),
+    and within-cell pairs survive the block split exactly once."""
+    import itertools
+
+    import numpy as np
+
+    e = (
+        spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet")
+        .filter(F.col("vec_id") < 300)
+        .withColumn("cell", (F.col("vec_id") % 3).cast("long"))
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.cosine_pairs_block(
+            e, threshold=0.40, n_blocks=5, extra_key_cols=("cell",)
+        ).collect()
+    }
+    rows = e.select("vec_id", "embedding", "cell").collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    cells = {int(r["vec_id"]): r["cell"] for r in rows}
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 4)
+    expected = {}
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        if cells[ids[i]] == cells[ids[j]] and sims[i, j] >= 0.40:
+            a, b = sorted((ids[i], ids[j]))
+            expected[(a, b)] = sims[i, j]
+    assert got == expected
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    """A planted near-identical copy (larger id) must be DROPPED with
+    max_prior_sim ~ 1.0 while its smaller-id original is kept; vectors with
+    no same-cell near neighbor are all kept."""
+    schema = StructType(
+        [StructField("vec_id", IntegerType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    base = [1.0, 0.0, 0.0, 0.0]
+    copy = [0.999, 0.001, 0.0, 0.0]
+    data = [
+        (0, base),
+        (7, copy),          # near-dup of 0, larger id -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+        (6, [0.0, -1.0, 0.0, 0.0]),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            spark.createDataFrame(data, schema), threshold=0.95, dim=4,
+            n_cells=2, iters=2, n_blocks=2,
+        ).collect()
+    }
+    assert len(out) == len(data), "one verdict row per input vector"
+    assert not out[7]["keep"] and out[7]["max_prior_sim"] >= 0.99
+    assert out[7]["cell"] == out[0]["cell"], "near-identical vectors share a cell"
+    for vid in (0, 3, 4, 5, 6):
+        assert out[vid]["keep"] and out[vid]["max_prior_sim"] == 0.0
+
+
+def test_semantic_dedup_matches_bruteforce_within_cells(spark):
+    """Operator verdict == brute-force recomputation of the keep rule from
+    the operator's own cell assignment on real fixture vectors: dropped iff
+    a SAME-CELL smaller id has rounded cosine >= threshold, and
+    max_prior_sim is the max such similarity."""
+    import numpy as np
+
+    from hdx_metadata_crawler_spark.plans.queries_similarity import _portable_id_hash
+
+    e = spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet").filter(
+        F.col("vec_id") < 250
+    )
+    verdict = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            e, threshold=0.40, dim=64, n_cells=8, iters=2,
+            init_hash_fn=_portable_id_hash, n_blocks=3,
+        ).collect()
+    }
+    rows = e.select("vec_id", "embedding").collect()
+    ids = sorted(int(r["vec_id"]) for r in rows)
+    vec = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    nvec = {i: v / (np.linalg.norm(v) or 1.0) for i, v in vec.items()}
+    cell = {i: verdict[i]["cell"] for i in ids}
+    for i in ids:
+        prior = [
+            round(float(nvec[i] @ nvec[j]), 4)
+            for j in ids
+            if j < i and cell[j] == cell[i]
+            and round(float(nvec[i] @ nvec[j]), 4) >= 0.40
+        ]
+        assert verdict[i]["keep"] == (not prior), f"vec {i}"
+        assert verdict[i]["max_prior_sim"] == (max(prior) if prior else 0.0), f"vec {i}"
