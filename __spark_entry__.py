@@ -39,10 +39,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY registered query (118/118 — the
+    """DuckDB-equivalent SQL for EVERY registered query (119/119 — the
     sketches/ANN use portable md5-derived hashes and inlined plane/k-means
     constants so DuckDB recomputes them independently; the round-4
     connected-components queries are closed against a recursive
     transitive-closure CTE; the round-5 streaming quality gate is closed
-    against an append-mode per-microbatch oracle)."""
+    against an append-mode per-microbatch oracle, and round-5
+    semantic_dedup re-runs the k-means quantizer + within-cell prune as
+    chained CTEs shared with knn_ivf)."""
     return _registry.oracle_sql()
