@@ -39,12 +39,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY registered query (119/119 — the
+    """DuckDB-equivalent SQL for EVERY registered query (120/120 — the
     sketches/ANN use portable md5-derived hashes and inlined plane/k-means
     constants so DuckDB recomputes them independently; the round-4
     connected-components queries are closed against a recursive
     transitive-closure CTE; the round-5 streaming quality gate is closed
-    against an append-mode per-microbatch oracle, and round-5
+    against an append-mode per-microbatch oracle, round-5
     semantic_dedup re-runs the k-means quantizer + within-cell prune as
-    chained CTEs shared with knn_ivf)."""
+    chained CTEs shared with knn_ivf, and ann_recall_report nests the
+    three existing top-k oracles as CTEs to score recall@3)."""
     return _registry.oracle_sql()

@@ -116,8 +116,11 @@ HEADLINE = [
     "embedding_norm_stats",
     "neardup_consensus",
     # round 5: content-dedup digest path + streaming quality circuit-breaker
+    # + embedding-space (SemDeDup-shaped) dedup over the IVF quantizer cells
     "exact_text_dedup",
     "stream_quality_gate",
+    "semantic_dedup",
+    "ann_recall_report",
 ]
 
 

@@ -412,3 +412,83 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias("avg_dim0"),
         F.round(F.avg(F.element_at("embedding", 64).cast("double")), 4).alias("avg_dim63"),
     )
+
+
+def _ann_recall_oracle(k: int = 3) -> str:
+    """ann_recall_report's DuckDB twin: the three existing top-k oracles
+    (_KNN_ORACLE / _lsh_oracle / _ivf_oracle) nested verbatim as CTE bodies
+    — DuckDB scopes each inner WITH to its CTE, so the shared names
+    (e/cand/scored) cannot collide — then hits = |approx ∩ exact| per
+    (method, query_id) with a zero-fill cross join so a method that returns
+    NO candidates for a query still reports recall 0."""
+    return f"""
+    WITH exact AS ({_KNN_ORACLE}),
+         lshk AS ({_lsh_oracle()}),
+         ivfk AS ({_ivf_oracle()}),
+         methods(method) AS (VALUES ('lsh'), ('ivf')),
+         qs AS (SELECT DISTINCT query_id FROM exact),
+         approx AS (
+           SELECT 'lsh' AS method, query_id, neighbor_id FROM lshk
+           UNION ALL
+           SELECT 'ivf' AS method, query_id, neighbor_id FROM ivfk),
+         hits AS (
+           SELECT a.method, a.query_id, count(*) AS h
+           FROM approx a JOIN exact e
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           GROUP BY a.method, a.query_id)
+    SELECT m.method, q.query_id,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hits_at_k,
+           round(coalesce(h.h, 0) / {k}.0, 4) AS recall_at_k
+    FROM qs q CROSS JOIN methods m
+    LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
+    """
+
+
+@register(
+    "ann_recall_report",
+    _ann_recall_oracle(),
+    doc="ANN quality report: per-query recall@3 of BOTH approximate "
+        "indexes (multi-table hyperplane LSH and the IVF coarse quantizer) "
+        "against the exact brute-force top-3 — the acceptance gate a "
+        "pipeline runs before trusting an ANN index at scale. Reuses the "
+        "registered knn_* builders unchanged (one embeddings scan feeds "
+        "all three), intersects approximate and exact neighbor sets with "
+        "a broadcast-size equi-join, and zero-fills queries where an index "
+        "returned no candidate so silent recall holes are visible. Oracle "
+        "nests the three existing top-k oracles as CTEs — shared builders, "
+        "so report and indexes can never drift. Scale: the report costs "
+        "one exact pass over the QUERY SAMPLE only (10 vectors here, a "
+        "fixed-size audit sample at 100 TB), never an all-pairs pass over "
+        "the corpus.",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 3
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_bruteforce(e, q, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.knn_lsh(e, q, dim=64, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.knn_ivf(
+        e, q, dim=64, k=k, n_cells=16, n_probe=4,
+        init_hash_fn=_portable_id_hash,
+    ).select("query_id", "neighbor_id")
+    approx = lsh.withColumn("method", F.lit("lsh")).unionByName(
+        ivf.withColumn("method", F.lit("ivf"))
+    )
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+    base = exact.select("query_id").distinct().crossJoin(methods)
+    h = F.coalesce(F.col("h"), F.lit(0)).cast("bigint")
+    return base.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        h.alias("hits_at_k"),
+        F.round(h.cast("double") / F.lit(float(k)), 4).alias("recall_at_k"),
+    )

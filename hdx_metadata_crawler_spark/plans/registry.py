@@ -86,6 +86,7 @@ _PRIORITY_NAMES = [
     # round-5 additions (new this round -> never driver-sampled either)
     "stream_quality_gate",
     "semantic_dedup",
+    "ann_recall_report",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles): the driver must re-confirm the value hash after the rewrite.
     "doc_repetition_score",

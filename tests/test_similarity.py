@@ -353,3 +353,46 @@ def test_semantic_dedup_matches_bruteforce_within_cells(spark):
         ]
         assert verdict[i]["keep"] == (not prior), f"vec {i}"
         assert verdict[i]["max_prior_sim"] == (max(prior) if prior else 0.0), f"vec {i}"
+
+
+def test_ann_recall_report_matches_set_intersection(spark):
+    """The registered report must equal an independent set-intersection
+    recomputation from the same knn builders: for every (method, query) row,
+    hits_at_k == |approx_topk ∩ exact_topk| and recall_at_k == hits/3, with
+    exactly 2 methods x 10 queries rows (zero-filled, never dropped)."""
+    from hdx_metadata_crawler_spark.plans.queries_similarity import (
+        _portable_id_hash,
+        ann_recall_report,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = ann_recall_report(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    got = {(r["method"], r["query_id"]): (r["hits_at_k"], r["recall_at_k"])
+           for r in rows}
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(e, q, k=3).collect()
+    }
+    approx = {
+        "lsh": {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.knn_lsh(e, q, dim=64, k=3).collect()
+        },
+        "ivf": {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.knn_ivf(
+                e, q, dim=64, k=3, n_cells=16, n_probe=4,
+                init_hash_fn=_portable_id_hash,
+            ).collect()
+        },
+    }
+    for method in ("lsh", "ivf"):
+        for qid in range(10):
+            want = len({p for p in exact & approx[method] if p[0] == qid})
+            hits, recall = got[(method, qid)]
+            assert hits == want, (method, qid, hits, want)
+            assert recall == round(want / 3.0, 4)
