@@ -18,12 +18,32 @@ control).
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_orphaned_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed-table directory that survives without catalog
+    metadata (a killed run's debris): the in-memory catalog forgets the
+    table on restart but the warehouse path persists, and ``saveAsTable``
+    then fails with LOCATION_ALREADY_EXISTS even in overwrite mode."""
+    if spark.catalog.tableExists(table):
+        return  # catalog owns it; overwrite mode handles this case
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(wh)
+    wh_path = parsed.path if parsed.scheme in ("file", "") and parsed.path else wh
+    loc = os.path.join(wh_path, table.split(".")[-1].lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
 ) -> None:
+    _clear_orphaned_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)

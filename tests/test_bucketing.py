@@ -71,3 +71,26 @@ def test_bucketed_join_results_match(bucketed):
         .collect()[0]
     )
     assert (got["n"], got["s"]) == (exp["n"], exp["s"])
+
+
+def test_write_bucketed_recovers_from_orphaned_location(spark, tmp_path):
+    """A killed run leaves the managed-table directory in the warehouse with
+    no catalog entry; saveAsTable then raises LOCATION_ALREADY_EXISTS even in
+    overwrite mode. write_bucketed must clear the orphan and succeed."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(wh)
+    wh_path = parsed.path if parsed.scheme in ("file", "") and parsed.path else wh
+    orphan = os.path.join(wh_path, "orphan_b")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "debris.parquet"), "w") as f:
+        f.write("not a real parquet file")
+    assert not spark.catalog.tableExists("orphan_b")
+    df = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    try:
+        bucketing.write_bucketed(df, "orphan_b", "n_nationkey", n_buckets=4)
+        assert spark.table("orphan_b").count() == df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orphan_b")
