@@ -331,6 +331,17 @@ def main() -> int:
         "sf": sf,
         "cores": args.cores,
         "crawl": crawl,
+        # Measurement honesty: these queries share one process-level memo of
+        # the simhash pair tier + component labels (VERDICT r04 item 6), so
+        # within this suite only the FIRST of them pays that cost and the
+        # best-of-2 minimum for the others is a memo-hit wall.  The suite
+        # TOTAL is the meaningful engine number for the family; a standalone
+        # cold run of any one of them recomputes from scratch.
+        "cc_shared_memo": [
+            "neardup_components",
+            "dedup_keep_list",
+            "neardup_consensus",
+        ],
     }
     # The driver records only a bounded TAIL of stdout and json-parses the
     # graded line from it; round 4's full per-query line outgrew that buffer

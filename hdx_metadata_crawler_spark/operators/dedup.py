@@ -54,20 +54,31 @@ def exact_dedup(
 
     One hash-shuffle on the key.  ``digest_text=True`` is the wide-key
     (content-keyed) path: the grouping key is collapsed to ONE 60-bit
-    portable md5 digest over the \\x1f-joined, NULL-pinned key columns
-    BEFORE the exchange, so the shuffle carries 8 bytes per row instead of
-    the document text (a ~1000x shuffle-volume cut for content dedup at
+    portable md5 digest over the NULL-pinned key columns BEFORE the
+    exchange, so the shuffle carries 8 bytes per row instead of the
+    document text (a ~1000x shuffle-volume cut for content dedup at
     100 TB).  Output key column is then ``key_digest``; callers join
-    ``keep_id`` back to the corpus when they need the text.  DuckDB twin of
-    the digest: ``MD5_HASH60_SQL`` over the same concat — digest-equal on
-    both engines even in the (2^-60) collision case, so oracles stay
-    hash-identical.
+    ``keep_id`` back to the corpus when they need the text.  DuckDB twin
+    of the digest: ``MD5_HASH60_SQL`` over the same expression — for one
+    key column that is the column itself; for several, each column is
+    digested FIRST and the \\x1f join runs over the decimal digest
+    strings, so a value containing \\x1f can never shift bytes across a
+    column boundary (('x\\x1fy','z') vs ('x','y\\x1fz') collide under a
+    naive raw-text join) — digest-equal on both engines even in the
+    (2^-60) collision case, so oracles stay hash-identical.
     """
     if digest_text:
         parts = [
             F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols
         ]
-        key = md5_hash60(F.concat_ws("\x1f", *parts))
+        if len(parts) == 1:
+            key = md5_hash60(parts[0])
+        else:
+            key = md5_hash60(
+                F.concat_ws(
+                    "\x1f", *[md5_hash60(p).cast("string") for p in parts]
+                )
+            )
         return (
             df.select(key.alias("key_digest"), F.col(id_col))
             .groupBy("key_digest")
@@ -491,13 +502,18 @@ def connected_components(
     cc_spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     with _CC_CONF_LOCK:
         edge_view = f"cc_edges_{next(_CC_VIEW_SEQ)}"
-        sym.createOrReplaceGlobalTempView(edge_view)
-        adj = (
-            cc_spark.table(f"global_temp.{edge_view}")
-            .repartition(n_parts, "dst")
-            .persist()
-        )
+        adj = None
         try:
+            # view + adj setup INSIDE the try: if the repartition/persist
+            # analysis raises, the finally still drops the global view and
+            # unpersists the edge list (they would otherwise outlive the
+            # call for the session's lifetime)
+            sym.createOrReplaceGlobalTempView(edge_view)
+            adj = (
+                cc_spark.table(f"global_temp.{edge_view}")
+                .repartition(n_parts, "dst")
+                .persist()
+            )
             labels = (
                 adj.select(F.col("src").alias("id"))
                 .distinct()
@@ -571,7 +587,8 @@ def connected_components(
             )
         finally:
             sym.unpersist()
-            adj.unpersist()
+            if adj is not None:
+                adj.unpersist()
             spark.catalog.dropGlobalTempView(edge_view)
 
 

@@ -3,6 +3,7 @@ MinHash-LSH / SimHash for training-data curation)."""
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -367,14 +368,38 @@ _CC_SHARE_LOCK = threading.Lock()
 _CC_SHARE: dict = {}
 
 
+def _source_stamp(sf_dir: str) -> tuple:
+    """Freshness stamp of the documents table under sf_dir: (mtime_ns, size)
+    of the parquet file, or of every direct child for a directory layout.
+    Part of the memo key so a process that rewrites the data under the same
+    path never gets served the previous corpus's pair/label frames."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                )
+            )
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
+
 def _cc_share(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
-    key = (kind, sf_dir)
+    key = (kind, sf_dir, _source_stamp(sf_dir))
     with _CC_SHARE_LOCK:
         hit = _CC_SHARE.get(key)
         if hit is not None and hit[0] is spark:
             return hit[1]
     df = build()
     with _CC_SHARE_LOCK:
+        # one live entry per (kind, sf_dir): a stale same-path entry would
+        # otherwise pin its checkpointed RDD blocks for the process lifetime
+        for k in [k for k in _CC_SHARE if k[:2] == key[:2] and k != key]:
+            del _CC_SHARE[k]
         _CC_SHARE[key] = (spark, df)
     return df
 

@@ -88,11 +88,15 @@ _PRIORITY_NAMES = [
     "semantic_dedup",
     "ann_recall_report",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
-    # shuffles): the driver must re-confirm the value hash after the rewrite.
+    # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
+    # the driver must re-confirm the value hash after the rewrite.
     "doc_repetition_score",
     "duplicate_passages",
     "exact_dedup_groups",
     "exact_text_dedup",
+    "ngram_jaccard_pairs",
+    "curation_funnel",
+    "minhash_lsh_dedup",
 ]
 
 # Flagship per-family block (kept from round 4; families that would

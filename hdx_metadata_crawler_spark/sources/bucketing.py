@@ -29,13 +29,20 @@ def _clear_orphaned_location(spark: SparkSession, table: str) -> None:
     """Remove a managed-table directory that survives without catalog
     metadata (a killed run's debris): the in-memory catalog forgets the
     table on restart but the warehouse path persists, and ``saveAsTable``
-    then fails with LOCATION_ALREADY_EXISTS even in overwrite mode."""
+    then fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
+
+    Only unqualified (default-database) names are auto-cleared: a
+    db-qualified name's managed location lives under ``<db>.db/``, and
+    mapping it naively to ``<warehouse>/<name>`` could rmtree a LIVE
+    default-database table that happens to share the trailing segment."""
+    if "." in table:
+        return  # qualified name: let saveAsTable surface any orphan
     if spark.catalog.tableExists(table):
         return  # catalog owns it; overwrite mode handles this case
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     parsed = urlparse(wh)
     wh_path = parsed.path if parsed.scheme in ("file", "") and parsed.path else wh
-    loc = os.path.join(wh_path, table.split(".")[-1].lower())
+    loc = os.path.join(wh_path, table.lower())
     if os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
 

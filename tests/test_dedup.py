@@ -325,6 +325,28 @@ def test_exact_dedup_digest_text_path(spark):
     assert out2 == {1: 2, 3: 1, 4: 2}
 
 
+def test_exact_dedup_digest_multicol_boundary_safe(spark):
+    """Multi-column digest keys must not merge distinct key tuples whose
+    values contain the join separator: ('x\\x1fy','z') and ('x','y\\x1fz')
+    concat to the same raw bytes, so each column is digested first and the
+    join runs over decimal digest strings."""
+    df = spark.createDataFrame(
+        [(1, "x\x1fy", "z"), (2, "x", "y\x1fz"), (3, "x\x1fy", "z")],
+        ["id", "a", "b"],
+    )
+    out = {
+        r["keep_id"]: r["n_dups"]
+        for r in dedup.exact_dedup(df, ["a", "b"], "id", digest_text=True).collect()
+    }
+    assert out == {1: 2, 2: 1}, "separator bytes leaked across column boundary"
+    # and must still agree with the plain (non-digest) grouping
+    plain = {
+        r["keep_id"]: r["n_dups"]
+        for r in dedup.exact_dedup(df, ["a", "b"], "id").collect()
+    }
+    assert out == plain
+
+
 def _final_plan(df) -> str:
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
