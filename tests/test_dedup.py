@@ -3,6 +3,8 @@ join, SimHash structure, shingle construction."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from hdx_metadata_crawler_spark.operators import dedup
@@ -456,10 +458,12 @@ def test_cc_loop_does_not_narrow_caller_session(spark):
     assert result["labels"] == {i: 0 for i in range(401)}, "chain is one component"
 
 
-def test_cc_share_memo_is_session_and_sf_scoped(spark):
+def test_cc_share_memo_is_session_and_sf_scoped(spark, tmp_path):
     """The CC-family memo must (a) serve repeat calls from the same session
     the SAME frame, (b) rebuild rather than serve an entry owned by another
-    session, and (c) key by sf_dir."""
+    session, (c) key by sf_dir, and (d) key by the source freshness stamp
+    so a rewritten corpus under the same path is never served stale frames.
+    The memo key is (kind, sf_dir, _source_stamp(sf_dir))."""
     from hdx_metadata_crawler_spark.plans import queries_dedup as qd
 
     calls = []
@@ -471,23 +475,45 @@ def test_cc_share_memo_is_session_and_sf_scoped(spark):
 
         return _b
 
-    key_dir = "/tmp/_cc_share_test_a"
-    with qd._CC_SHARE_LOCK:
-        qd._CC_SHARE.pop(("t", key_dir), None)
-    a1 = qd._cc_share(spark, key_dir, "t", build("a"))
-    a2 = qd._cc_share(spark, key_dir, "t", build("a"))
-    assert a1 is a2 and calls == ["a"]
-    # different sf_dir -> its own entry
-    qd._cc_share(spark, "/tmp/_cc_share_test_b", "t", build("b"))
-    assert calls == ["a", "b"]
-    # entry owned by a foreign session object -> rebuilt, not served
-    with qd._CC_SHARE_LOCK:
-        qd._CC_SHARE[("t", key_dir)] = (object(), a1)
-    qd._cc_share(spark, key_dir, "t", build("a"))
-    assert calls == ["a", "b", "a"]
-    with qd._CC_SHARE_LOCK:
-        qd._CC_SHARE.pop(("t", key_dir), None)
-        qd._CC_SHARE.pop(("t", "/tmp/_cc_share_test_b"), None)
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(dir_a)
+    os.makedirs(dir_b)
+    with open(os.path.join(dir_a, "documents.parquet"), "w") as f:
+        f.write("v1")
+
+    def _purge():
+        with qd._CC_SHARE_LOCK:
+            for k in [k for k in qd._CC_SHARE if k[1] in (dir_a, dir_b)]:
+                del qd._CC_SHARE[k]
+
+    _purge()
+    try:
+        a1 = qd._cc_share(spark, dir_a, "t", build("a"))
+        a2 = qd._cc_share(spark, dir_a, "t", build("a"))
+        assert a1 is a2 and calls == ["a"]
+        # different sf_dir -> its own entry
+        qd._cc_share(spark, dir_b, "t", build("b"))
+        assert calls == ["a", "b"]
+        # entry owned by a foreign session object -> rebuilt, not served
+        key_a = ("t", dir_a, qd._source_stamp(dir_a))
+        with qd._CC_SHARE_LOCK:
+            assert key_a in qd._CC_SHARE
+            qd._CC_SHARE[key_a] = (object(), a1)
+        qd._cc_share(spark, dir_a, "t", build("a"))
+        assert calls == ["a", "b", "a"]
+        # rewritten source under the same path -> stamp changes, rebuilt,
+        # and the stale same-path entry is evicted (one live entry per
+        # (kind, sf_dir))
+        with open(os.path.join(dir_a, "documents.parquet"), "w") as f:
+            f.write("v2-longer")
+        assert qd._source_stamp(dir_a) != key_a[2]
+        qd._cc_share(spark, dir_a, "t", build("a"))
+        assert calls == ["a", "b", "a", "a"]
+        with qd._CC_SHARE_LOCK:
+            live = [k for k in qd._CC_SHARE if k[:2] == ("t", dir_a)]
+            assert len(live) == 1 and live[0][2] != key_a[2]
+    finally:
+        _purge()
 
 
 def test_jaccard_join_digest_first_plan(spark):
