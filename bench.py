@@ -121,6 +121,11 @@ HEADLINE = [
     "stream_quality_gate",
     "semantic_dedup",
     "ann_recall_report",
+    # round 5 continuation: component-level train/eval split (leakage-proof),
+    # cross-snapshot digest diff, token-budget mixture planning
+    "leakage_safe_split",
+    "snapshot_diff",
+    "mix_epochs_plan",
 ]
 
 

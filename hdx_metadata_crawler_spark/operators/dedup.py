@@ -894,3 +894,60 @@ def incremental_dedup(
         .when(F.col("n_near") > 0, F.lit("near_dup"))
         .otherwise(F.lit("novel")),
     )
+
+
+def snapshot_diff(
+    prev: DataFrame,
+    curr: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn=None,
+) -> DataFrame:
+    """Digest-based diff of two corpus snapshots: which documents were
+    ADDED, REMOVED, or CHANGED between a previous and a current crawl — the
+    bookkeeping op a recurring 100 TB ingestion runs between snapshots (the
+    batch complement of ``incremental_dedup``'s per-doc verdicts: diff says
+    WHAT moved, incremental dedup says what the mover duplicates).
+
+    Shape: each side computes a 64-bit content digest in its own map stage,
+    then ONE full-outer equi-join on the id — the shuffle carries
+    (id, digest) = 16 bytes per row, never document text, so the exchange
+    volume is O(row count), not O(corpus bytes).  Status precedence:
+    missing-left => 'added', missing-right => 'removed', digest mismatch =>
+    'changed'; unchanged rows are dropped before they reach the caller (at
+    snapshot cadence the diff is a small fraction of the corpus, so the
+    output is the cheap side).  NULL text == empty text (repo-wide rule);
+    absent-side digests surface as -1 sentinels, matching
+    ``incremental_dedup``'s NULL-free output convention.
+
+    ``hash_fn`` (Column -> Column) defaults to xxhash64 (production: one
+    hash pass); pass ``md5_hash60`` for the portable oracle-checkable twin
+    (MD5_HASH60_SQL) — the diff algebra is hash-agnostic.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+
+    def digests(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            hash_fn(F.coalesce(F.col(text_col), F.lit(""))).alias(out),
+        )
+
+    j = digests(prev, "_prev_digest").join(
+        digests(curr, "_curr_digest"), "_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("_prev_digest").isNull(), F.lit("added"))
+        .when(F.col("_curr_digest").isNull(), F.lit("removed"))
+        .when(F.col("_prev_digest") != F.col("_curr_digest"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            "_id",
+            "status",
+            F.coalesce("_prev_digest", F.lit(-1).cast("long")).alias("prev_digest"),
+            F.coalesce("_curr_digest", F.lit(-1).cast("long")).alias("curr_digest"),
+        )
+    )

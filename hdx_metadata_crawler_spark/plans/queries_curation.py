@@ -723,3 +723,108 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(TOP_MERGES)
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture planner (round 5).  The planning op that precedes
+# corpus_mix_sample: given a target TRAINING TOKEN BUDGET and the per-source
+# mix weights (operators/sampling.py MIX_WEIGHTS_BP — the same single source
+# of truth the sampler draws against), how many tokens does each source get
+# and how many EPOCHS of that source does the allocation imply?  epochs > 1
+# means the mix oversamples (repeats) the source — the flag a pipeline owner
+# checks before a run, since repeated data changes loss dynamics.
+TOKEN_BUDGET = 500_000  # target training tokens for the planning report
+
+
+def _mix_epochs_oracle() -> str:
+    from ..operators import sampling
+
+    rate = sampling.rate_bp_case_sql(
+        "source", sampling.MIX_WEIGHTS_BP, sampling.DEFAULT_MIX_BP
+    )
+    return f"""
+    WITH base AS (
+      SELECT coalesce(source, '') AS source,
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_toks
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS avail_tokens,
+             CAST({rate} AS BIGINT) AS weight_bp
+      FROM base GROUP BY source
+    ),
+    tot AS (SELECT sum(weight_bp) AS total_w FROM per),
+    alloc AS (
+      SELECT p.*,
+             CAST((p.weight_bp * {TOKEN_BUDGET}
+                   - (p.weight_bp * {TOKEN_BUDGET}) % t.total_w)
+                  / t.total_w AS BIGINT) AS alloc_tokens
+      FROM per p CROSS JOIN tot t
+    )
+    SELECT source, n_docs, avail_tokens, weight_bp, alloc_tokens,
+           CASE WHEN avail_tokens = 0 THEN 0.0
+                ELSE round(alloc_tokens / avail_tokens, 4) END AS epochs,
+           (CASE WHEN avail_tokens = 0 THEN 0.0
+                 ELSE round(alloc_tokens / avail_tokens, 4) END) > 1.0
+             AS oversampled
+    FROM alloc
+    """
+
+
+@register(
+    "mix_epochs_plan",
+    _mix_epochs_oracle(),
+    doc="Token-budget mixture planner: per source, available tokens "
+        "(whitespace/alnum tokenization — the same regex every token query "
+        "uses), the mix weight (operators/sampling.py MIX_WEIGHTS_BP, the "
+        "SAME constants corpus_mix_sample draws against), the token "
+        "allocation at TOKEN_BUDGET (exact floor division via the "
+        "(x - x%d)/d parity form), implied epochs (allocated/available, "
+        "4 dp), and the oversampled flag (epochs > 1 = the mix repeats the "
+        "source).  Plan: one scan -> map-side-combined per-source "
+        "aggregate; the budget normalizer rides a broadcast 1-row cross "
+        "join (the tfidf_top_terms device), so nothing returns to the "
+        "driver and the only shuffle keys on source (strata-sized).",
+)
+def mix_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).alias("n_toks"),
+    )
+    per = (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("avail_tokens"),
+        )
+        .withColumn(
+            "weight_bp",
+            sampling.rate_bp_column(
+                F.col("source"), sampling.MIX_WEIGHTS_BP, sampling.DEFAULT_MIX_BP
+            ).cast("long"),
+        )
+    )
+    tot = per.agg(F.sum("weight_bp").alias("total_w"))
+    j = per.crossJoin(F.broadcast(tot))
+    prod = F.col("weight_bp") * F.lit(TOKEN_BUDGET)
+    alloc = ((prod - prod % F.col("total_w")) / F.col("total_w")).cast("long")
+    j = j.withColumn("alloc_tokens", alloc)
+    epochs = F.when(F.col("avail_tokens") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("alloc_tokens") / F.col("avail_tokens"), 4)
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "weight_bp",
+        "alloc_tokens",
+        epochs.alias("epochs"),
+        (epochs > 1.0).alias("oversampled"),
+    )

@@ -1008,3 +1008,148 @@ def mix_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(div(sum(CASE WHEN ticket < rate_bp THEN 1 ELSE 0 END) * 10000, count(*)) AS BIGINT)"
         ).alias("achieved_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/eval split (round 5): the split is assigned per
+# NEAR-DUP COMPONENT, not per document, so two near-duplicate documents can
+# never land on opposite sides of the train/held-out boundary (the leakage
+# mode that inflates eval scores when a doc-level split — eval_split_col
+# above — is used on an un-deduplicated corpus).  Salted independently of
+# every other split/mix in the repo.
+SPLIT_SALT = "split1"
+SPLIT_EVAL_BP = 1000  # 10% of COMPONENTS (not docs) held out
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_components_oracle_ctes()},
+    lab AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component_id,
+           {sampling.mix_ticket_sql('component_id', SPLIT_SALT)} AS ticket,
+           CASE WHEN {sampling.mix_ticket_sql('component_id', SPLIT_SALT)}
+                     < {SPLIT_EVAL_BP}
+                THEN 'eval' ELSE 'train' END AS split
+    FROM lab
+    """,
+    doc="Leakage-proof train/eval split: every document inherits the salted "
+        "md5 ticket of its near-dup COMPONENT (simhash hamming<=3 pairs -> "
+        "connected components, shared _simhash_component_labels frame; "
+        "singletons are their own component), so near-duplicates always "
+        "land on the SAME side of the split — the property a doc-level "
+        "ticket cannot give on an un-deduplicated corpus.  Plan: the "
+        "component-label frame (paired docs only, a small fraction of the "
+        "corpus) left-joins the id spine on doc_id; the ticket is map-side "
+        "column algebra, so beyond the CC loop the split costs one join "
+        "keyed on the id.  Oracle closes the pairs with the shared "
+        "recursive transitive-closure CTE and recomputes the identical "
+        "ticket, proving component inheritance end-to-end.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    labels = _simhash_component_labels(spark, sf_dir).withColumnRenamed(
+        "id", "doc_id"
+    )
+    j = d.select("doc_id").join(labels, "doc_id", "left")
+    comp = F.coalesce(F.col("comp"), F.col("doc_id"))
+    ticket = sampling.mix_ticket(comp, SPLIT_SALT)
+    return j.select(
+        "doc_id",
+        comp.alias("component_id"),
+        ticket.alias("ticket"),
+        F.when(ticket < SPLIT_EVAL_BP, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot corpus diff (round 5).  The two snapshots are synthesized
+# deterministically from the documents table with independently-salted md5
+# tickets (same device as INC_SPLIT_SQL): a doc absent from the PREVIOUS
+# snapshot but present now is 'added', present before but dropped now is
+# 'removed', present in both with revised text is 'changed'.
+SNAP_PREV_SALT = "snapP:"
+SNAP_CURR_SALT = "snapC:"
+SNAP_MUT_SALT = "snapM:"
+SNAP_PREV_MOD = 5   # 1 in 5 docs missing from the previous snapshot
+SNAP_CURR_MOD = 6   # 1 in 6 docs dropped from the current snapshot
+SNAP_MUT_MOD = 4    # 1 in 4 of the docs present in both got revised text
+SNAP_REV_SUFFIX = " [rev2]"
+
+
+def _snap_ticket_sql(salt: str) -> str:
+    key = f"'{salt}' || CAST(doc_id AS VARCHAR)"
+    return dedup.MD5_BASE28_SQL.format(x=key)
+
+
+def _snap_ticket_col(salt: str) -> "F.Column":
+    return dedup.md5_base28(
+        F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+    )
+
+
+@register(
+    "snapshot_diff",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             ({_snap_ticket_sql(SNAP_PREV_SALT)} % {SNAP_PREV_MOD} <> 0) AS in_prev,
+             ({_snap_ticket_sql(SNAP_CURR_SALT)} % {SNAP_CURR_MOD} <> 0) AS in_curr,
+             ({_snap_ticket_sql(SNAP_MUT_SALT)} % {SNAP_MUT_MOD} = 0) AS mutated,
+             coalesce(text, '') AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, {dedup.MD5_HASH60_SQL.format(x='t')} AS prev_digest
+      FROM base WHERE in_prev
+    ),
+    c AS (
+      SELECT doc_id,
+             {dedup.MD5_HASH60_SQL.format(x=f"CASE WHEN mutated THEN t || '{SNAP_REV_SUFFIX}' ELSE t END")}
+               AS curr_digest
+      FROM base WHERE in_curr
+    )
+    SELECT * FROM (
+      SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+             CASE WHEN p.doc_id IS NULL THEN 'added'
+                  WHEN c.doc_id IS NULL THEN 'removed'
+                  WHEN p.prev_digest <> c.curr_digest THEN 'changed'
+             END AS status,
+             coalesce(p.prev_digest, -1) AS prev_digest,
+             coalesce(c.curr_digest, -1) AS curr_digest
+      FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+    ) WHERE status IS NOT NULL
+    """,
+    doc="Cross-snapshot corpus diff: added / removed / changed documents "
+        "between two crawl snapshots by 60-bit content digest "
+        "(operators/dedup.py snapshot_diff) — digests computed in each "
+        "side's map stage, ONE full-outer join on the id shuffling 16 "
+        "bytes/row, unchanged rows dropped before the caller.  Snapshots "
+        "are salted-ticket projections of the documents table (prev drops "
+        "1-in-5 ids => 'added' now; curr drops 1-in-6 => 'removed'; 1-in-4 "
+        "of the intersection gets revised text => 'changed').  Keyed on "
+        "the portable md5 twin so DuckDB recomputes both digest columns "
+        "and the full-outer status algebra independently; production "
+        "default is xxhash64.",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    prev = d.filter(_snap_ticket_col(SNAP_PREV_SALT) % SNAP_PREV_MOD != 0).select(
+        "doc_id", txt.alias("text")
+    )
+    mutated = _snap_ticket_col(SNAP_MUT_SALT) % SNAP_MUT_MOD == 0
+    curr = d.filter(_snap_ticket_col(SNAP_CURR_SALT) % SNAP_CURR_MOD != 0).select(
+        "doc_id",
+        F.when(mutated, F.concat(txt, F.lit(SNAP_REV_SUFFIX)))
+        .otherwise(txt)
+        .alias("text"),
+    )
+    return dedup.snapshot_diff(
+        prev, curr, "doc_id", "text", hash_fn=dedup.md5_hash60
+    ).select(F.col("_id").alias("doc_id"), "status", "prev_digest", "curr_digest")

@@ -87,6 +87,9 @@ _PRIORITY_NAMES = [
     "stream_quality_gate",
     "semantic_dedup",
     "ann_recall_report",
+    "leakage_safe_split",
+    "snapshot_diff",
+    "mix_epochs_plan",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.

@@ -1,0 +1,130 @@
+"""Round-5 breadth queries: leakage-safe component split, cross-snapshot
+diff, token-budget mixture planner.  Oracle parity is the driver's job
+(verify_local green at sf0.01 + sf0.001); these pin the SEMANTIC properties
+each op exists to provide — the leakage guarantee, the diff status algebra,
+the floor-allocation arithmetic — on crafted inputs and the test corpus."""
+
+from pyspark.sql import functions as F
+
+from hdx_metadata_crawler_spark.operators import dedup
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split: THE property — no near-dup pair straddles the split
+# ---------------------------------------------------------------------------
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        leakage_safe_split,
+        simhash_hamming_pairs,
+    )
+
+    split = leakage_safe_split(spark, SF_SMALL).select("doc_id", "split")
+    pairs = simhash_hamming_pairs(spark, SF_SMALL).select("id_a", "id_b")
+    a = split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa")
+    b = split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb")
+    straddlers = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddlers.count() == 0
+    # and the pair tier is non-trivial on this corpus, or the test is vacuous
+    assert pairs.count() > 0
+
+
+def test_leakage_safe_split_covers_every_doc_once(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import leakage_safe_split
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    out = leakage_safe_split(spark, SF_SMALL)
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    # both sides populated (SPLIT_EVAL_BP = 10% of components)
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "eval"}
+
+
+def test_leakage_safe_split_component_consistent(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import leakage_safe_split
+
+    out = leakage_safe_split(spark, SF_SMALL)
+    multi = (
+        out.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("n_splits"), F.count("*").alias("n"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert multi.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff: operator status algebra on crafted frames
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_operator_statuses(spark):
+    prev = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None)],
+        ["doc_id", "text"],
+    )
+    curr = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma REVISED"), (4, ""), (5, "delta")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["_id"]: r["status"]
+        for r in dedup.snapshot_diff(prev, curr, "doc_id", "text").collect()
+    }
+    # 1 dropped, 3 revised, 5 new; 2 unchanged (absent); 4: NULL == '' rule
+    assert out == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_snapshot_diff_digest_sentinels(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import snapshot_diff
+
+    rows = snapshot_diff(spark, SF_SMALL).collect()
+    assert rows, "diff must be non-empty on the test corpus"
+    statuses = set()
+    for r in rows:
+        statuses.add(r["status"])
+        if r["status"] == "added":
+            assert r["prev_digest"] == -1 and r["curr_digest"] != -1
+        elif r["status"] == "removed":
+            assert r["curr_digest"] == -1 and r["prev_digest"] != -1
+        else:
+            assert r["status"] == "changed"
+            assert r["prev_digest"] != -1 and r["curr_digest"] != -1
+            assert r["prev_digest"] != r["curr_digest"]
+    assert statuses == {"added", "removed", "changed"}
+
+
+def test_snapshot_diff_identical_snapshots_empty(spark):
+    d = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    assert dedup.snapshot_diff(d, d, "doc_id", "text").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# mix_epochs_plan: floor-allocation arithmetic and flag consistency
+# ---------------------------------------------------------------------------
+
+def test_mix_epochs_plan_allocation_arithmetic(spark):
+    from hdx_metadata_crawler_spark.plans.queries_curation import (
+        TOKEN_BUDGET,
+        mix_epochs_plan,
+    )
+
+    rows = mix_epochs_plan(spark, SF_SMALL).collect()
+    assert rows
+    total_w = sum(r["weight_bp"] for r in rows)
+    total_alloc = 0
+    for r in rows:
+        expected = (r["weight_bp"] * TOKEN_BUDGET) // total_w
+        assert r["alloc_tokens"] == expected
+        if r["avail_tokens"] > 0:
+            assert abs(r["epochs"] - round(r["alloc_tokens"] / r["avail_tokens"], 4)) < 1e-9
+        else:
+            assert r["epochs"] == 0.0
+        assert r["oversampled"] == (r["epochs"] > 1.0)
+        total_alloc += r["alloc_tokens"]
+    # floor division: the plan never over-commits the budget, and the
+    # rounding slack is bounded by one token per source
+    assert TOKEN_BUDGET - len(rows) < total_alloc <= TOKEN_BUDGET
