@@ -126,6 +126,8 @@ HEADLINE = [
     "leakage_safe_split",
     "snapshot_diff",
     "mix_epochs_plan",
+    "cross_source_neardup_matrix",
+    "minhash_accuracy_report",
 ]
 
 

@@ -1153,3 +1153,186 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.snapshot_diff(
         prev, curr, "doc_id", "text", hash_fn=dedup.md5_hash60
     ).select(F.col("_id").alias("doc_id"), "status", "prev_digest", "curr_digest")
+
+
+# ---------------------------------------------------------------------------
+# cross-source near-dup contamination matrix (round 5): which SOURCES
+# duplicate each other?  A mixture owner reads this before setting
+# MIX_WEIGHTS_BP — two sources that are largely near-duplicates of each
+# other should not both get full weight, and a source that near-duplicates
+# an eval source is a leakage channel.
+@register(
+    "cross_source_neardup_matrix",
+    f"""
+    WITH {_simhash_oracle_cte()},
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    lab AS (SELECT doc_id, coalesce(source, '') AS s FROM documents)
+    SELECT least(la.s, lb.s) AS source_a,
+           greatest(la.s, lb.s) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM prs
+    JOIN lab la ON prs.id_a = la.doc_id
+    JOIN lab lb ON prs.id_b = lb.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source near-dup contamination matrix: simhash hamming<=3 "
+        "pairs (shared memoized _simhash_pair_tier — the same frame the "
+        "component/keep-list queries consume) labeled with each side's "
+        "source and normalized to an unordered (least, greatest) source "
+        "pair, counted.  The provenance report a mixture owner reads "
+        "before weighting sources: off-diagonal mass = inter-source "
+        "duplication (a leakage channel when one side is an eval source); "
+        "diagonal mass = intra-source redundancy.  Plan: beyond the pair "
+        "tier, two id equi-joins against a (doc_id, source) projection "
+        "(pairs are the small side — broadcast-able at scale) and one "
+        "strata-sized aggregate; document text never moves.",
+)
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pair_tier(spark, sf_dir).select("id_a", "id_b")
+    lab = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("")).alias("s")
+    )
+    j = (
+        pairs.join(lab.withColumnRenamed("doc_id", "id_a").withColumnRenamed("s", "sa"), "id_a")
+        .join(lab.withColumnRenamed("doc_id", "id_b").withColumnRenamed("s", "sb"), "id_b")
+    )
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch-accuracy report (round 5): the MinHash analogue of
+# ann_recall_report — per equal-slot count k (the raw statistic the
+# estimator divides by 32), how far is the estimate from the EXACT Jaccard
+# of the very shingle sets the sketch summarizes?  All columns are exact
+# integers (basis points via the (x - x%d)/d floor-division parity form),
+# so the oracle comparison involves no float rounding at all.
+MH_ACC_BP = 10_000
+
+
+def _floor_bp_col(num: "F.Column", den: "F.Column") -> "F.Column":
+    prod = num * F.lit(MH_ACC_BP)
+    return ((prod - prod % den) / den).cast("long")
+
+
+@register(
+    "minhash_accuracy_report",
+    f"""
+    WITH {_minhash_ctes()},
+    ssets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+                           s -> {dedup.MD5_HASH60_SQL.format(x='s')})) AS shs
+      FROM mh_sh
+    ),
+    slots AS (
+      SELECT c.id_a, c.id_b,
+             CAST(list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+               AS BIGINT) AS est_slots
+      FROM mh_cands c
+      JOIN mh_sigs a ON c.id_a = a.doc_id
+      JOIN mh_sigs b ON c.id_b = b.doc_id
+    ),
+    ex AS (
+      SELECT s.est_slots,
+             CAST(len(list_filter(pa.shs, x -> list_contains(pb.shs, x)))
+               AS BIGINT) AS n_inter,
+             CAST(len(pa.shs) + len(pb.shs) AS BIGINT) AS n_ab
+      FROM slots s
+      JOIN ssets pa ON s.id_a = pa.doc_id
+      JOIN ssets pb ON s.id_b = pb.doc_id
+    ),
+    bp AS (
+      SELECT est_slots,
+             CAST((est_slots * {MH_ACC_BP}
+                   - (est_slots * {MH_ACC_BP}) % 32) / 32 AS BIGINT) AS est_bp,
+             CAST((n_inter * {MH_ACC_BP}
+                   - (n_inter * {MH_ACC_BP}) % (n_ab - n_inter))
+                  / (n_ab - n_inter) AS BIGINT) AS exact_bp
+      FROM ex
+    )
+    SELECT est_slots,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(est_bp - exact_bp)) AS BIGINT) AS sum_err_bp,
+           CAST(max(abs(est_bp - exact_bp)) AS BIGINT) AS max_err_bp
+    FROM bp GROUP BY est_slots
+    """,
+    doc="MinHash sketch-accuracy report — the sketch-QA twin of "
+        "ann_recall_report: for every LSH candidate pair, the equal-slot "
+        "count k (est Jaccard = k/32) vs the EXACT Jaccard of the same "
+        "3-gram shingle sets the signatures summarize, binned by k with "
+        "pair count, summed and max absolute error.  Errors are exact "
+        "integer basis points (floor division via the (x - x%d)/d parity "
+        "form), so no float ever enters the value hash.  Plan: signatures "
+        "and candidates reuse the minhash_lsh_dedup operators (cached "
+        "signature frame, banded bucket join — never all-pairs); the exact "
+        "side joins shingle-DIGEST arrays only for candidate pairs "
+        "(candidate-sized, LSH-bounded — NOT the corpus-sized inverted-"
+        "index self-join ngram_jaccard_pairs pays), intersecting JVM-side "
+        "via array_intersect.  Output is <= 29 rows (k in 4..32: one band "
+        "of 4 equal slots is the collision precondition).",
+)
+def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    sig = dedup.minhash_signatures(
+        d, "doc_id", "text", n=3, num_hashes=32, base_hash_fn=dedup.md5_base28
+    ).cache()
+    pairs = dedup.minhash_lsh_candidates(
+        sig, bands=8, rows_per_band=4, num_hashes=32,
+        bucket_hash_fn=dedup.md5_hash60,
+    )
+    slots = (
+        pairs.join(sig.select(F.col("_id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("_id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("long").alias("est_slots"),
+        )
+    )
+    ssets = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(dedup.shingles(F.col("text"), 3), dedup.md5_hash60)
+        ).alias("shs"),
+    )
+    ex = (
+        slots.join(ssets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(ssets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+        .select(
+            "est_slots",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_inter"),
+            (F.size("shs_a") + F.size("shs_b")).cast("long").alias("n_ab"),
+        )
+    )
+    bp = ex.select(
+        "est_slots",
+        _floor_bp_col(F.col("est_slots"), F.lit(32)).alias("est_bp"),
+        _floor_bp_col(F.col("n_inter"), F.col("n_ab") - F.col("n_inter")).alias("exact_bp"),
+    )
+    err = F.abs(F.col("est_bp") - F.col("exact_bp"))
+    out = (
+        bp.groupBy("est_slots")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(err).alias("sum_err_bp"),
+            F.max(err).alias("max_err_bp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig.unpersist()
+    return out

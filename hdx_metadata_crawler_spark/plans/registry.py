@@ -90,6 +90,8 @@ _PRIORITY_NAMES = [
     "leakage_safe_split",
     "snapshot_diff",
     "mix_epochs_plan",
+    "cross_source_neardup_matrix",
+    "minhash_accuracy_report",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.

@@ -128,3 +128,73 @@ def test_mix_epochs_plan_allocation_arithmetic(spark):
     # floor division: the plan never over-commits the budget, and the
     # rounding slack is bounded by one token per source
     assert TOKEN_BUDGET - len(rows) < total_alloc <= TOKEN_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# cross_source_neardup_matrix: normalization + conservation of pair mass
+# ---------------------------------------------------------------------------
+
+def test_cross_source_matrix_conserves_pairs(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        cross_source_neardup_matrix,
+        simhash_hamming_pairs,
+    )
+
+    rows = cross_source_neardup_matrix(spark, SF_SMALL).collect()
+    assert rows
+    # (source_a, source_b) is normalized unordered and unique per row
+    keys = [(r["source_a"], r["source_b"]) for r in rows]
+    assert all(a <= b for a, b in keys)
+    assert len(keys) == len(set(keys))
+    # every simhash pair lands in exactly one cell
+    n_pairs = simhash_hamming_pairs(spark, SF_SMALL).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+
+
+# ---------------------------------------------------------------------------
+# minhash_accuracy_report: bin bounds + integer error algebra
+# ---------------------------------------------------------------------------
+
+def test_minhash_accuracy_report_bounds(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        MH_ACC_BP,
+        minhash_accuracy_report,
+    )
+
+    rows = minhash_accuracy_report(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # a band collision guarantees >= 4 equal slots; 32 is the signature
+        assert 4 <= r["est_slots"] <= 32
+        assert r["n_pairs"] >= 1
+        assert 0 <= r["max_err_bp"] <= MH_ACC_BP
+        assert r["max_err_bp"] <= r["sum_err_bp"] <= r["n_pairs"] * MH_ACC_BP
+
+
+def test_minhash_accuracy_identical_docs_zero_error(spark):
+    """Two identical documents: all 32 slots equal (k=32, est 10000 bp) and
+    exact Jaccard 1.0 (10000 bp) — the k=32 bin must report zero error."""
+    from hdx_metadata_crawler_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(
+        d, "doc_id", "text", n=3, num_hashes=32, base_hash_fn=dedup.md5_base28
+    )
+    pairs = dedup.minhash_lsh_candidates(
+        sig, bands=8, rows_per_band=4, num_hashes=32,
+        bucket_hash_fn=dedup.md5_hash60,
+    )
+    assert pairs.count() == 1
+    est = dedup.minhash_jaccard_estimate(sig, pairs).collect()[0]
+    assert est["est_jaccard"] == 1.0
+    sets = d.select(
+        F.array_distinct(
+            F.transform(dedup.shingles(F.col("text"), 3), dedup.md5_hash60)
+        ).alias("shs")
+    ).collect()
+    assert sorted(sets[0]["shs"]) == sorted(sets[1]["shs"])
