@@ -198,3 +198,30 @@ def test_minhash_accuracy_identical_docs_zero_error(spark):
         ).alias("shs")
     ).collect()
     assert sorted(sets[0]["shs"]) == sorted(sets[1]["shs"])
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff: digest-only exchanges (plan shape)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_digest_only_exchanges(spark):
+    """The full-outer join's exchanges carry (id, digest) — document text
+    must never appear in an Exchange partitioning or as a join key: the
+    16-bytes/row shuffle claim is the operator's whole scale story."""
+    import re
+
+    from pyspark.sql import functions as F
+    from hdx_metadata_crawler_spark.operators import dedup
+
+    prev = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    curr = spark.createDataFrame([(2, "beta!"), (3, "gamma")], ["doc_id", "text"])
+    df = dedup.snapshot_diff(prev, curr, "doc_id", "text")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    for ln in final.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert not re.search(r"\btext#\d+", ln), (
+                f"document text in a snapshot_diff exchange: {ln}"
+            )
