@@ -338,16 +338,22 @@ def main() -> int:
         "sf": sf,
         "cores": args.cores,
         "crawl": crawl,
-        # Measurement honesty: these queries share one process-level memo of
-        # the simhash pair tier + component labels (VERDICT r04 item 6), so
-        # within this suite only the FIRST of them pays that cost and the
-        # best-of-2 minimum for the others is a memo-hit wall.  The suite
-        # TOTAL is the meaningful engine number for the family; a standalone
-        # cold run of any one of them recomputes from scratch.
+        # Measurement honesty: these queries share process-level memos — the
+        # simhash pair tier + component labels (VERDICT r04 item 6) and,
+        # since the round-5 continuation, the MinHash(32) signature frame —
+        # so within this suite only the FIRST consumer of each memo pays
+        # that cost and the best-of-2 minimum for the others is a memo-hit
+        # wall.  The suite TOTAL is the meaningful engine number for the
+        # family; a standalone cold run of any one recomputes from scratch.
         "cc_shared_memo": [
             "neardup_components",
             "dedup_keep_list",
             "neardup_consensus",
+            "curation_funnel",
+            "cross_source_neardup_matrix",
+            "leakage_safe_split",
+            "minhash_lsh_dedup",
+            "minhash_accuracy_report",
         ],
     }
     # The driver records only a bounded TAIL of stdout and json-parses the

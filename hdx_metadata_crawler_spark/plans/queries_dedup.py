@@ -168,21 +168,16 @@ def _minhash_ctes(src: str = "documents") -> str:
         "in tests/test_dedup.py.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    sig = dedup.minhash_signatures(
-        d, "doc_id", "text", n=3, num_hashes=32, base_hash_fn=dedup.md5_base28
-    )
-    sig = sig.cache()
+    # shared memoized signature frame (already lineage-free via its own
+    # eager localCheckpoint) — no per-query cache/unpersist needed, and a
+    # suite that also runs neardup_consensus / minhash_accuracy_report
+    # pays the signature scan once
+    sig = _minhash_sig_frame(spark, sf_dir)
     pairs = dedup.minhash_lsh_candidates(
         sig, bands=8, rows_per_band=4, num_hashes=32,
         bucket_hash_fn=dedup.md5_hash60,
     )
-    # eager checkpoint so the signature cache can be released before
-    # returning — ADVICE r04: per-query .cache() entries otherwise
-    # accumulate executor memory across a 118-query driver session
-    out = dedup.minhash_jaccard_estimate(sig, pairs).localCheckpoint(eager=True)
-    sig.unpersist()
-    return out
+    return dedup.minhash_jaccard_estimate(sig, pairs)
 
 
 # list_dot_product form, same shape as every other cosine oracle (the
@@ -416,6 +411,25 @@ def _simhash_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cc_share(spark, sf_dir, "sh_pairs", build)
 
 
+def _minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized portable MinHash(32) signature frame (_id, signature),
+    shared by minhash_lsh_dedup, neardup_consensus's minhash tier and
+    minhash_accuracy_report — the signatures are a pure deterministic
+    function of the corpus, so one eager localCheckpoint per process
+    serves all three (same ownership/freshness rules as the pair tier;
+    see _cc_share).  ~32 longs/doc, so the pinned blocks are corpus-row
+    sized, not corpus-byte sized."""
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents", fan_out=True)
+        return dedup.minhash_signatures(
+            d, "doc_id", "text", n=3, num_hashes=32,
+            base_hash_fn=dedup.md5_base28,
+        ).localCheckpoint(eager=True)
+
+    return _cc_share(spark, sf_dir, "mh_sigs", build)
+
+
 def _simhash_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Spark side of the cluster/keep-list queries: simhash pair tier
     -> connected-components labels (id, comp).  Both frames are memoized
@@ -514,11 +528,11 @@ MH_CONSENSUS_MIN_EST = 0.5
         "the merged fixpoint exactly.",
 )
 def neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
     sh_pairs = _simhash_pair_tier(spark, sf_dir).select("id_a", "id_b")
-    sig = dedup.minhash_signatures(
-        d, "doc_id", "text", n=3, num_hashes=32, base_hash_fn=dedup.md5_base28
-    ).cache()
+    # shared memoized signature frame (lineage-free) — the consensus tier,
+    # minhash_lsh_dedup and minhash_accuracy_report pay the signature scan
+    # once per process (ADVICE r04's leaked per-query cache is gone with it)
+    sig = _minhash_sig_frame(spark, sf_dir)
     cands = dedup.minhash_lsh_candidates(
         sig, bands=8, rows_per_band=4, num_hashes=32,
         bucket_hash_fn=dedup.md5_hash60,
@@ -527,14 +541,10 @@ def neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_jaccard_estimate(sig, cands)
         .filter(F.col("est_jaccard") >= MH_CONSENSUS_MIN_EST)
         .select("id_a", "id_b")
-        # lineage cut so sig can be released below: the estimate joins sig
-        # to itself, and a later CC-loop recompute against an unpersisted
-        # sig would re-run both signature scans
+        # lineage cut: the CC loop re-evaluates its edge input across
+        # rounds; keep the banded candidate join out of that lineage
         .localCheckpoint(eager=True)
     )
-    # ADVICE r04: the signatures cache used to leak for the session's
-    # lifetime; the edge list is checkpointed now, so release it eagerly.
-    sig.unpersist()
     labels = dedup.connected_components(sh_pairs.unionByName(mh_pairs))
     sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
     return labels.join(sizes, "comp").select(
@@ -1284,9 +1294,8 @@ def _floor_bp_col(num: "F.Column", den: "F.Column") -> "F.Column":
 )
 def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    sig = dedup.minhash_signatures(
-        d, "doc_id", "text", n=3, num_hashes=32, base_hash_fn=dedup.md5_base28
-    ).cache()
+    # shared memoized signature frame (lineage-free; see _minhash_sig_frame)
+    sig = _minhash_sig_frame(spark, sf_dir)
     pairs = dedup.minhash_lsh_candidates(
         sig, bands=8, rows_per_band=4, num_hashes=32,
         bucket_hash_fn=dedup.md5_hash60,
@@ -1325,14 +1334,8 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _floor_bp_col(F.col("n_inter"), F.col("n_ab") - F.col("n_inter")).alias("exact_bp"),
     )
     err = F.abs(F.col("est_bp") - F.col("exact_bp"))
-    out = (
-        bp.groupBy("est_slots")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(err).alias("sum_err_bp"),
-            F.max(err).alias("max_err_bp"),
-        )
-        .localCheckpoint(eager=True)
+    return bp.groupBy("est_slots").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(err).alias("sum_err_bp"),
+        F.max(err).alias("max_err_bp"),
     )
-    sig.unpersist()
-    return out
