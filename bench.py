@@ -354,6 +354,7 @@ def main() -> int:
             "leakage_safe_split",
             "minhash_lsh_dedup",
             "minhash_accuracy_report",
+            "simhash_hamming_pairs",
         ],
     }
     # The driver records only a bounded TAIL of stdout and json-parses the

@@ -317,10 +317,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(round-2 no_oracle row converted); production keeps xxhash64.",
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    return dedup.simhash_hamming_pairs(
-        d, "doc_id", "text", max_distance=3, hash_fn=dedup.md5_hash60
-    )
+    # this query IS the pair tier the CC family memoizes — serve the shared
+    # frame (identical computation, identical schema incl. hamming; cold
+    # standalone builds it exactly as before)
+    return _simhash_pair_tier(spark, sf_dir)
 
 
 def _components_oracle_ctes(src: str = "documents") -> str:
