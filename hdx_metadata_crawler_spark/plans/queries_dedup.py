@@ -1339,3 +1339,66 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err).alias("sum_err_bp"),
         F.max(err).alias("max_err_bp"),
     )
+
+
+@register(
+    "neardup_cluster_histogram",
+    f"""
+    WITH RECURSIVE {_components_oracle_ctes()},
+    lab AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sizes AS (
+      SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM lab GROUP BY component_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lab),
+    hist AS (
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sizes GROUP BY cluster_size
+    )
+    SELECT cluster_size, n_clusters,
+           cluster_size * n_clusters AS n_docs,
+           CAST((cluster_size * n_clusters * 10000
+                 - (cluster_size * n_clusters * 10000) % t) / t AS BIGINT)
+             AS doc_share_bp
+    FROM hist CROSS JOIN tot
+    """,
+    doc="Near-dup cluster-size distribution: how the corpus mass splits "
+        "across duplicate-cluster sizes (singletons included via the "
+        "leakage_safe_split spine device — docs outside every simhash "
+        "pair are their own component).  THE dedup QA report: a long tail "
+        "of mega-clusters means boilerplate/mirror content dominates and "
+        "the keep-list will cut deep; doc_share_bp is exact integer basis "
+        "points of total docs per size bucket.  Plan: the memoized "
+        "component-label frame (paired docs only) left-joins the id spine, "
+        "then two tiny aggregates (component-count-sized, then "
+        "size-bucket-sized); the normalizer rides a broadcast 1-row cross "
+        "join.  Oracle closes the pairs with the shared recursive "
+        "transitive-closure CTE, so the histogram proves the distributed "
+        "CC fixpoint end-to-end at one more level of aggregation.",
+)
+def neardup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    labels = _simhash_component_labels(spark, sf_dir).withColumnRenamed(
+        "id", "doc_id"
+    )
+    lab = d.select("doc_id").join(labels, "doc_id", "left").select(
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("component_id")
+    )
+    sizes = lab.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    tot = sizes.agg(F.sum("cluster_size").alias("t"))
+    j = hist.crossJoin(F.broadcast(tot))
+    num = F.col("cluster_size") * F.col("n_clusters") * F.lit(10000)
+    return j.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        ((num - num % F.col("t")) / F.col("t")).cast("long").alias("doc_share_bp"),
+    )

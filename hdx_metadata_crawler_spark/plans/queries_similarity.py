@@ -492,3 +492,74 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("hits_at_k"),
         F.round(h.cast("double") / F.lit(float(k)), 4).alias("recall_at_k"),
     )
+
+
+def _ivf_cell_stats_oracle(
+    dim: int = 64, n_cells: int = 16, iters: int = 4,
+) -> str:
+    """Cell-size report over the shared quantizer CTEs: group ``casg`` by
+    cell, then share/load in exact integer basis points via the repo's
+    truncating-division parity form ((x - x % d) / d, CLAUDE.md)."""
+    parts = _ivf_assign_ctes(dim=dim, n_cells=n_cells, iters=iters)
+    parts += [
+        "sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs "
+        "FROM casg GROUP BY cell)",
+        "tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t FROM sizes)",
+    ]
+    cte = ",\n    ".join(parts)
+    return f"""
+    WITH {cte}
+    SELECT cell, n_vecs,
+           CAST((n_vecs * 10000 - (n_vecs * 10000) % t) / t AS BIGINT)
+             AS share_bp,
+           CAST((n_vecs * {n_cells} * 10000
+                 - (n_vecs * {n_cells} * 10000) % t) / t AS BIGINT)
+             AS load_bp
+    FROM sizes CROSS JOIN tot
+    """
+
+
+@register(
+    "ivf_cell_stats",
+    _ivf_cell_stats_oracle(),
+    doc="IVF quantizer skew report: per-cell vector count, corpus share and "
+        "LOAD factor (cell size relative to a perfectly balanced cell, "
+        "10000 bp = balanced) — the audit an index owner runs before "
+        "serving knn_ivf / semantic_dedup, since a mega-cell is exactly "
+        "the task that straggles in the per-cell GEMM kernels.  Shares the "
+        "deterministic quantizer (portable md5 init) with knn_ivf and "
+        "semantic_dedup, and its oracle shares _ivf_assign_ctes, so the "
+        "three can never drift.  Both ratios are exact integer basis "
+        "points (truncating-division parity form), no float in the value "
+        "hash.  Plan: one Arrow GEMM assignment pass -> 16-key aggregate; "
+        "the normalizer rides a broadcast 1-row cross join.  Cells with "
+        "zero members are absent on both sides by construction.",
+)
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(
+        e, dim=64, k=16, iters=4, init_hash_fn=_portable_id_hash,
+    )
+    assigned = e.select(
+        "vec_id",
+        similarity._assign_cell(
+            similarity.as_double(F.col("embedding")), cents
+        ).alias("cell"),
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    tot = sizes.agg(F.sum("n_vecs").alias("t"))
+    j = sizes.crossJoin(F.broadcast(tot))
+    share_num = F.col("n_vecs") * F.lit(10000)
+    load_num = F.col("n_vecs") * F.lit(16 * 10000)
+    return j.select(
+        "cell",
+        "n_vecs",
+        ((share_num - share_num % F.col("t")) / F.col("t"))
+        .cast("long")
+        .alias("share_bp"),
+        ((load_num - load_num % F.col("t")) / F.col("t"))
+        .cast("long")
+        .alias("load_bp"),
+    )

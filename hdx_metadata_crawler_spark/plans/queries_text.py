@@ -854,11 +854,11 @@ def regex_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_SEQ_LEN = 256
 
-
-@register(
-    "sequence_packing",
-    f"""
-    WITH t AS (
+# the token-stream cumsum CTE chain (t -> nz -> c), shared by the
+# sequence_packing and packing_fragmentation oracles — ONE copy per the
+# shared-constants rule so the two can never drift on the tokenizer regex
+# or the prefix-sum form.
+_PACK_STREAM_CTES = """t AS (
       SELECT doc_id,
              len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                              x -> x <> '')) AS n_tokens
@@ -871,7 +871,13 @@ _PACK_SEQ_LEN = 256
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS stream_start
       FROM nz
-    )
+    )"""
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH {_PACK_STREAM_CTES}
     SELECT doc_id, n_tokens, stream_start,
            stream_start // {_PACK_SEQ_LEN} AS seq_start,
            (stream_start + n_tokens - 1) // {_PACK_SEQ_LEN} AS seq_end,
@@ -906,4 +912,70 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_end",
         "seq_offset",
         "n_seqs",
+    )
+
+
+@register(
+    "packing_fragmentation",
+    f"""
+    WITH {_PACK_STREAM_CTES},
+    spans AS (
+      SELECT stream_start // {_PACK_SEQ_LEN} AS seq_start,
+             (stream_start + n_tokens - 1) // {_PACK_SEQ_LEN} AS seq_end
+      FROM c
+    ),
+    s AS (SELECT unnest(range(seq_start, seq_end + 1)) AS seq_id FROM spans),
+    frag AS (
+      SELECT seq_id, CAST(count(*) AS BIGINT) AS n_fragments
+      FROM s GROUP BY seq_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM frag),
+    hist AS (
+      SELECT n_fragments, CAST(count(*) AS BIGINT) AS n_seqs
+      FROM frag GROUP BY n_fragments
+    )
+    SELECT n_fragments, n_seqs,
+           CAST((n_seqs * 10000 - (n_seqs * 10000) % t) / t AS BIGINT)
+             AS seq_share_bp
+    FROM hist CROSS JOIN tot
+    """,
+    doc="Packing fragmentation histogram: for each 256-token training "
+        "sequence produced by sequence_packing's concat-then-chunk stream, "
+        "how many document FRAGMENTS it contains, bucketed (n_fragments -> "
+        "sequence count + exact-bp share).  The report a pretraining owner "
+        "reads to size cross-document attention contamination: a heavy "
+        ">=3-fragment tail means short docs dominate and sequences mix "
+        "many unrelated contexts.  Plan: the distributed cumsum from "
+        "operators/packing.py, then explode(sequence(seq_start, seq_end)) "
+        "— fan-out is ceil(n_tokens/256) per doc, corpus-token bounded — "
+        "into a (seq_id) map-side-combined aggregate and a tiny histogram "
+        "re-agg; the share normalizer rides a broadcast 1-row cross join.  "
+        "Oracle shares _PACK_STREAM_CTES with sequence_packing, so the "
+        "stream arithmetic can never drift between the two.",
+)
+def packing_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).alias("n_tokens"),
+    )
+    packed = pack_sequences(counted, "doc_id", "n_tokens", _PACK_SEQ_LEN)
+    seqs = packed.select(
+        F.explode(F.sequence(F.col("seq_start"), F.col("seq_end"))).alias("seq_id")
+    )
+    frag = seqs.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_fragments")
+    )
+    hist = frag.groupBy("n_fragments").agg(
+        F.count("*").cast("long").alias("n_seqs")
+    )
+    tot = frag.agg(F.count("*").cast("long").alias("t"))
+    j = hist.crossJoin(F.broadcast(tot))
+    num = F.col("n_seqs") * F.lit(10000)
+    return j.select(
+        "n_fragments",
+        "n_seqs",
+        ((num - num % F.col("t")) / F.col("t")).cast("long").alias("seq_share_bp"),
     )

@@ -92,6 +92,9 @@ _PRIORITY_NAMES = [
     "mix_epochs_plan",
     "cross_source_neardup_matrix",
     "minhash_accuracy_report",
+    "ivf_cell_stats",
+    "neardup_cluster_histogram",
+    "packing_fragmentation",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.

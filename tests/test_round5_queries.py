@@ -225,3 +225,106 @@ def test_snapshot_diff_digest_only_exchanges(spark):
             assert not re.search(r"\btext#\d+", ln), (
                 f"document text in a snapshot_diff exchange: {ln}"
             )
+
+
+# ---------------------------------------------------------------------------
+# ivf_cell_stats: quantizer agreement with semantic_dedup + exact bp math
+# ---------------------------------------------------------------------------
+
+def test_ivf_cell_stats_matches_semantic_dedup_cells(spark):
+    from hdx_metadata_crawler_spark.plans.queries_similarity import (
+        ivf_cell_stats,
+        semantic_dedup,
+    )
+
+    stats = {r["cell"]: r for r in ivf_cell_stats(spark, SF_SMALL).collect()}
+    # same deterministic quantizer -> per-cell counts must agree exactly
+    sd = (
+        semantic_dedup(spark, SF_SMALL)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {r["cell"]: r["n"] for r in sd} == {
+        c: r["n_vecs"] for c, r in stats.items()
+    }
+    t = sum(r["n_vecs"] for r in stats.values())
+    for r in stats.values():
+        assert r["share_bp"] == (r["n_vecs"] * 10000) // t
+        assert r["load_bp"] == (r["n_vecs"] * 16 * 10000) // t
+    # floor rounding: shares sum to within one bp per cell of 10000
+    s = sum(r["share_bp"] for r in stats.values())
+    assert 10000 - len(stats) < s <= 10000
+
+
+# ---------------------------------------------------------------------------
+# neardup_cluster_histogram: mass conservation vs the component frames
+# ---------------------------------------------------------------------------
+
+def test_cluster_histogram_conserves_corpus_mass(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        neardup_cluster_histogram,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = neardup_cluster_histogram(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["doc_share_bp"] == (r["n_docs"] * 10000) // n_docs
+    # the corpus has near-dups (simhash tier is non-trivial), so both a
+    # singleton bucket and at least one >=2 bucket must exist
+    sizes = {r["cluster_size"] for r in rows}
+    assert 1 in sizes and max(sizes) >= 2
+
+
+def test_cluster_histogram_agrees_with_components(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        neardup_cluster_histogram,
+        neardup_components,
+    )
+
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in neardup_cluster_histogram(spark, SF_SMALL).collect()
+        if r["cluster_size"] >= 2
+    }
+    comp = (
+        neardup_components(spark, SF_SMALL)
+        .select("component_id", "n_members")
+        .distinct()
+        .groupBy("n_members")
+        .agg(F.count("*").alias("n_clusters"))
+        .collect()
+    )
+    assert {r["n_members"]: r["n_clusters"] for r in comp} == hist
+
+
+# ---------------------------------------------------------------------------
+# packing_fragmentation: fragment/sequence mass conservation vs the packer
+# ---------------------------------------------------------------------------
+
+def test_packing_fragmentation_conserves_fragments_and_seqs(spark):
+    from hdx_metadata_crawler_spark.plans.queries_text import (
+        _PACK_SEQ_LEN,
+        packing_fragmentation,
+        sequence_packing,
+    )
+
+    hist = packing_fragmentation(spark, SF_SMALL).collect()
+    packed = sequence_packing(spark, SF_SMALL).agg(
+        F.sum("n_seqs").alias("frags"),
+        F.sum("n_tokens").alias("toks"),
+        F.max(F.col("seq_end")).alias("last_seq"),
+    ).collect()[0]
+    # every (doc, sequence) incidence lands in exactly one histogram bucket
+    assert sum(r["n_fragments"] * r["n_seqs"] for r in hist) == packed["frags"]
+    # every occupied sequence id is counted exactly once
+    n_seqs = sum(r["n_seqs"] for r in hist)
+    assert n_seqs == packed["last_seq"] + 1
+    assert n_seqs == -(-packed["toks"] // _PACK_SEQ_LEN)  # ceil
+    assert all(r["n_fragments"] >= 1 for r in hist)
+    t = n_seqs
+    for r in hist:
+        assert r["seq_share_bp"] == (r["n_seqs"] * 10000) // t
