@@ -128,6 +128,11 @@ HEADLINE = [
     "mix_epochs_plan",
     "cross_source_neardup_matrix",
     "minhash_accuracy_report",
+    # round 5 continuation #3: ANN index skew audit, cluster-size histogram
+    # (CC-memo rider), packing fragmentation report
+    "ivf_cell_stats",
+    "neardup_cluster_histogram",
+    "packing_fragmentation",
 ]
 
 
