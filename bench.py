@@ -133,6 +133,7 @@ HEADLINE = [
     "ivf_cell_stats",
     "neardup_cluster_histogram",
     "packing_fragmentation",
+    "char_class_profile",
 ]
 
 

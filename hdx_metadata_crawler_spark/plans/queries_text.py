@@ -979,3 +979,104 @@ def packing_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seqs",
         ((num - num % F.col("t")) / F.col("t")).cast("long").alias("seq_share_bp"),
     )
+
+
+# char classes for the per-source composition profile — ONE bank, Java and
+# RE2 read these classes identically (plain ASCII ranges, no shorthand
+# escapes whose Unicode semantics differ between engines).
+CHAR_CLASSES: list[tuple[str, str]] = [
+    ("alpha", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+]
+
+
+def _char_class_oracle() -> str:
+    cnt = {
+        name: f"length(t) - length(regexp_replace(t, '{pat}', '', 'g'))"
+        for name, pat in CHAR_CLASSES
+    }
+    sums = ",\n             ".join(
+        f"CAST(sum({expr}) AS BIGINT) AS n_{name}" for name, expr in cnt.items()
+    )
+    class_cols = [f"n_{name}" for name, _ in CHAR_CLASSES]
+    named = ", ".join(class_cols)
+    bp = ",\n           ".join(
+        f"CAST((n_{name} * 10000 - (n_{name} * 10000) % greatest(n_chars, 1))"
+        f" / greatest(n_chars, 1) AS BIGINT) AS {name}_bp"
+        for name, _ in CHAR_CLASSES
+    )
+    return f"""
+    WITH base AS (
+      SELECT coalesce(source, '') AS source, coalesce(text, '') AS t
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(t)) AS BIGINT) AS n_chars,
+             {sums}
+      FROM base GROUP BY source
+    )
+    SELECT source, n_docs, n_chars, {named},
+           n_chars - ({" + ".join(class_cols)}) AS n_other,
+           {bp}
+    FROM per
+    """
+
+
+@register(
+    "char_class_profile",
+    _char_class_oracle(),
+    doc="Per-source character-class composition: total chars plus "
+        "alpha/digit/whitespace counts and their exact-bp shares "
+        "(truncating-division parity form; all-empty sources guarded with "
+        "greatest(n,1) on both sides), with 'other' as the exact remainder "
+        "— the corpus-composition fingerprint a data owner reads to spot a "
+        "source that is secretly tables, code, or binary spew before it "
+        "reaches tokenizer training.  The class bank (CHAR_CLASSES) is the "
+        "single source of truth interpolated into the oracle.  Plan: one "
+        "scan, four regexp length-diffs as JVM column algebra (no Python), "
+        "map-side-combined per-source aggregate — the shuffle carries one "
+        "row per (partition, source).  At 100 TB this rides any other "
+        "full-text pass for free.",
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.length(t).alias("len"),
+        *[
+            (F.length(t) - F.length(F.regexp_replace(t, pat, F.lit(""))))
+            .alias(f"c_{name}")
+            for name, pat in CHAR_CLASSES
+        ],
+    )
+    per = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("len").cast("long").alias("n_chars"),
+        *[
+            F.sum(f"c_{name}").cast("long").alias(f"n_{name}")
+            for name, _ in CHAR_CLASSES
+        ],
+    )
+    denom = F.greatest(F.col("n_chars"), F.lit(1))
+    named = [F.col(f"n_{name}") for name, _ in CHAR_CLASSES]
+    other = F.col("n_chars")
+    for c in named:
+        other = other - c
+    bp_cols = []
+    for name, _ in CHAR_CLASSES:
+        num = F.col(f"n_{name}") * F.lit(10000)
+        bp_cols.append(
+            ((num - num % denom) / denom).cast("long").alias(f"{name}_bp")
+        )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        *[F.col(f"n_{name}") for name, _ in CHAR_CLASSES],
+        other.alias("n_other"),
+        *bp_cols,
+    )

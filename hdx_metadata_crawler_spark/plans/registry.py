@@ -95,6 +95,7 @@ _PRIORITY_NAMES = [
     "ivf_cell_stats",
     "neardup_cluster_histogram",
     "packing_fragmentation",
+    "char_class_profile",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.

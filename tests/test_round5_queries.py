@@ -328,3 +328,41 @@ def test_packing_fragmentation_conserves_fragments_and_seqs(spark):
     t = n_seqs
     for r in hist:
         assert r["seq_share_bp"] == (r["n_seqs"] * 10000) // t
+
+
+# ---------------------------------------------------------------------------
+# char_class_profile: pure-Python recomputation on the test corpus
+# ---------------------------------------------------------------------------
+
+def test_char_class_profile_matches_python_recount(spark):
+    from collections import defaultdict
+
+    from hdx_metadata_crawler_spark.plans.queries_text import (
+        char_class_profile,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    got = {r["source"]: r for r in char_class_profile(spark, SF_SMALL).collect()}
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "source", "text"
+    ).collect()
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, chars, alpha, digit, space
+    for r in docs:
+        src = r["source"] or ""
+        t = r["text"] or ""
+        w = want[src]
+        w[0] += 1
+        w[1] += len(t)
+        w[2] += sum(c.isascii() and c.isalpha() for c in t)
+        w[3] += sum(c.isdigit() and c.isascii() for c in t)
+        w[4] += sum(c in " \t\n\r" for c in t)
+    assert set(got) == set(want)
+    for src, (nd, nc, na, ng, ns) in want.items():
+        r = got[src]
+        assert (r["n_docs"], r["n_chars"]) == (nd, nc)
+        assert (r["n_alpha"], r["n_digit"], r["n_space"]) == (na, ng, ns)
+        assert r["n_other"] == nc - na - ng - ns
+        d = max(nc, 1)
+        assert r["alpha_bp"] == (na * 10000) // d
+        assert r["digit_bp"] == (ng * 10000) // d
+        assert r["space_bp"] == (ns * 10000) // d
