@@ -134,6 +134,8 @@ HEADLINE = [
     "neardup_cluster_histogram",
     "packing_fragmentation",
     "char_class_profile",
+    "dup_quality_interaction",
+    "recrawl_priority",
 ]
 
 

@@ -1402,3 +1402,183 @@ def neardup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         ((num - num % F.col("t")) / F.col("t")).cast("long").alias("doc_share_bp"),
     )
+
+
+def _dup_quality_oracle() -> str:
+    from ..operators.curation import gopher_metrics_sql, gopher_pass_sql
+
+    m = gopher_metrics_sql("toks")
+    keep = gopher_pass_sql()["keep"]
+    return f"""
+    WITH RECURSIVE {_components_oracle_ctes()},
+    gm AS (
+      SELECT doc_id, source,
+             {m['n_words']} AS n_words,
+             {m['mean_word_len']} AS mean_word_len,
+             {m['alpha_ratio']} AS alpha_ratio,
+             {m['stop_hits']} AS stop_hits
+      FROM (SELECT doc_id, coalesce(source, '') AS source,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+            FROM documents)
+    ),
+    g AS (SELECT doc_id, source, {keep} AS keep FROM gm),
+    j AS (
+      SELECT g.source, g.keep, (c.doc_id IS NOT NULL) AS is_neardup
+      FROM g LEFT JOIN comp c USING (doc_id)
+    ),
+    per AS (
+      SELECT source, is_neardup,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM j GROUP BY source, is_neardup
+    )
+    SELECT source, is_neardup, n_docs, n_keep,
+           CAST((n_keep * 10000 - (n_keep * 10000) % n_docs) / n_docs
+                AS BIGINT) AS keep_bp
+    FROM per
+    """
+
+
+@register(
+    "dup_quality_interaction",
+    _dup_quality_oracle(),
+    doc="Quality x duplication cross-signal: per (source, has-a-near-dup) "
+        "stratum, how many docs the Gopher rules keep (exact-bp keep "
+        "rate).  The report that tells a curation owner whether "
+        "near-duplicated content is also low-quality content (drop "
+        "ordering then matters little) or high-quality boilerplate (dedup "
+        "and quality filters remove DIFFERENT mass and both are needed).  "
+        "Reuses the two existing verdicts wholesale: the memoized simhash "
+        "pair-tier labels mark duplication, the shared gopher_metrics/"
+        "gopher_pass builders mark quality — no third definition to "
+        "drift.  Plan: one corpus scan for the metrics, one left join "
+        "against the (small) label frame, strata-sized aggregate.  Oracle "
+        "recomputes both verdicts (recursive closure + Gopher SQL twins) "
+        "from scratch.",
+)
+def dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+    from ..operators.curation import gopher_metrics, gopher_pass
+
+    d = load_table(spark, sf_dir, "documents")
+    m = gopher_metrics(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+    g = d.select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        gopher_pass(m)["keep"].alias("keep"),
+    )
+    labels = _simhash_component_labels(spark, sf_dir).withColumnRenamed(
+        "id", "doc_id"
+    )
+    j = g.join(labels, "doc_id", "left")
+    per = j.groupBy(
+        "source", F.col("comp").isNotNull().alias("is_neardup")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_keep"),
+    )
+    num = F.col("n_keep") * F.lit(10000)
+    return per.select(
+        "source",
+        "is_neardup",
+        "n_docs",
+        "n_keep",
+        ((num - num % F.col("n_docs")) / F.col("n_docs"))
+        .cast("long")
+        .alias("keep_bp"),
+    )
+
+
+def _recrawl_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT coalesce(source, '') AS source,
+             ({_snap_ticket_sql(SNAP_PREV_SALT)} % {SNAP_PREV_MOD} <> 0) AS in_prev,
+             ({_snap_ticket_sql(SNAP_CURR_SALT)} % {SNAP_CURR_MOD} <> 0) AS in_curr,
+             ({_snap_ticket_sql(SNAP_MUT_SALT)} % {SNAP_MUT_MOD} = 0) AS mutated
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(sum(CASE WHEN in_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+             CAST(sum(CASE WHEN in_curr THEN 1 ELSE 0 END) AS BIGINT) AS n_curr,
+             CAST(sum(CASE WHEN in_curr AND NOT in_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN in_prev AND NOT in_curr THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN in_prev AND in_curr THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+             CAST(sum(CASE WHEN in_prev AND in_curr AND mutated THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      FROM base GROUP BY source
+    ),
+    rated AS (
+      SELECT *,
+             CAST((n_changed * 10000 - (n_changed * 10000) % greatest(n_common, 1))
+                  / greatest(n_common, 1) AS BIGINT) AS change_bp,
+             CAST(((n_added + n_removed + n_changed) * 10000
+                   - ((n_added + n_removed + n_changed) * 10000) % greatest(n_curr, 1))
+                  / greatest(n_curr, 1) AS BIGINT) AS churn_bp
+      FROM per
+    )
+    SELECT source, n_prev, n_curr, n_added, n_removed, n_common, n_changed,
+           change_bp, churn_bp,
+           CAST(row_number() OVER (ORDER BY churn_bp DESC, source) AS BIGINT)
+             AS priority
+    FROM rated
+    """
+
+
+@register(
+    "recrawl_priority",
+    _recrawl_oracle(),
+    doc="Per-source recrawl scheduling report (incremental-crawl revisit "
+        "policy): from the SAME two salted-ticket snapshot projections "
+        "snapshot_diff compares, the per-source added/removed/changed "
+        "volumes, the change rate over the common subset and the total "
+        "churn rate over the current snapshot (both exact integer bp), "
+        "and a total-ordered recrawl priority (churn desc, source "
+        "tie-break — highest-churn sources get refetched first).  "
+        "'Changed' counts common-and-mutated directly: a mutation always "
+        "appends SNAP_REV_SUFFIX, so it equals snapshot_diff's "
+        "digest-inequality verdict by construction (the digest itself is "
+        "oracle-proven in snapshot_diff).  Plan: map-only flag algebra, "
+        "one strata-sized aggregate; the rank window runs over one row "
+        "per source — driver-safe at any corpus size since sources, not "
+        "docs, bound the frame.",
+)
+def recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        (_snap_ticket_col(SNAP_PREV_SALT) % SNAP_PREV_MOD != 0).alias("in_prev"),
+        (_snap_ticket_col(SNAP_CURR_SALT) % SNAP_CURR_MOD != 0).alias("in_curr"),
+        (_snap_ticket_col(SNAP_MUT_SALT) % SNAP_MUT_MOD == 0).alias("mutated"),
+    )
+
+    def _n(c) -> "F.Column":
+        return F.sum(c.cast("int")).cast("long")
+
+    per = base.groupBy("source").agg(
+        _n(F.col("in_prev")).alias("n_prev"),
+        _n(F.col("in_curr")).alias("n_curr"),
+        _n(F.col("in_curr") & ~F.col("in_prev")).alias("n_added"),
+        _n(F.col("in_prev") & ~F.col("in_curr")).alias("n_removed"),
+        _n(F.col("in_prev") & F.col("in_curr")).alias("n_common"),
+        _n(F.col("in_prev") & F.col("in_curr") & F.col("mutated")).alias(
+            "n_changed"
+        ),
+    )
+    common = F.greatest(F.col("n_common"), F.lit(1))
+    curr = F.greatest(F.col("n_curr"), F.lit(1))
+    chg = F.col("n_changed") * F.lit(10000)
+    churn = (F.col("n_added") + F.col("n_removed") + F.col("n_changed")) * F.lit(10000)
+    rated = per.select(
+        "*",
+        ((chg - chg % common) / common).cast("long").alias("change_bp"),
+        ((churn - churn % curr) / curr).cast("long").alias("churn_bp"),
+    )
+    w = Window.orderBy(F.col("churn_bp").desc(), F.col("source"))
+    return rated.select(
+        "*", F.row_number().over(w).cast("long").alias("priority")
+    )

@@ -96,6 +96,8 @@ _PRIORITY_NAMES = [
     "neardup_cluster_histogram",
     "packing_fragmentation",
     "char_class_profile",
+    "dup_quality_interaction",
+    "recrawl_priority",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.

@@ -366,3 +366,79 @@ def test_char_class_profile_matches_python_recount(spark):
         assert r["alpha_bp"] == (na * 10000) // d
         assert r["digit_bp"] == (ng * 10000) // d
         assert r["space_bp"] == (ns * 10000) // d
+
+
+# ---------------------------------------------------------------------------
+# dup_quality_interaction: both input verdicts are reused, not re-derived
+# ---------------------------------------------------------------------------
+
+def test_dup_quality_interaction_conserves_both_verdicts(spark):
+    from hdx_metadata_crawler_spark.plans.queries_curation import (
+        gopher_quality_filter,
+    )
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        dup_quality_interaction,
+        simhash_hamming_pairs,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = dup_quality_interaction(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # total keeps equal the standalone Gopher filter's keeps
+    n_keep = gopher_quality_filter(spark, SF_SMALL).filter(F.col("keep")).count()
+    assert sum(r["n_keep"] for r in rows) == n_keep
+    # duplicated mass equals the distinct membership of the pair tier
+    pairs = simhash_hamming_pairs(spark, SF_SMALL)
+    members = (
+        pairs.select(F.col("id_a").alias("i"))
+        .union(pairs.select(F.col("id_b").alias("i")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows if r["is_neardup"]) == members
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert r["keep_bp"] == (r["n_keep"] * 10000) // r["n_docs"]
+
+
+# ---------------------------------------------------------------------------
+# recrawl_priority: flag algebra conserves and agrees with snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_recrawl_priority_agrees_with_snapshot_diff(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        recrawl_priority,
+        snapshot_diff,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = recrawl_priority(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["n_added"] + r["n_common"] == r["n_curr"]
+        assert r["n_removed"] + r["n_common"] == r["n_prev"]
+        assert r["n_changed"] <= r["n_common"]
+    # per-source added/removed/changed match the digest-based diff exactly
+    src = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("")).alias("source")
+    )
+    diff = (
+        snapshot_diff(spark, SF_SMALL)
+        .join(src, "doc_id")
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = {(r["source"], r["status"]): r["n"] for r in diff}
+    for r in rows:
+        for status, col in (
+            ("added", "n_added"), ("removed", "n_removed"), ("changed", "n_changed"),
+        ):
+            assert want.get((r["source"], status), 0) == r[col]
+    # priority is a total order 1..n_sources ranked by churn
+    prios = sorted(r["priority"] for r in rows)
+    assert prios == list(range(1, len(rows) + 1))
+    by_p = sorted(rows, key=lambda r: r["priority"])
+    assert all(
+        a["churn_bp"] >= b["churn_bp"] for a, b in zip(by_p, by_p[1:])
+    )
