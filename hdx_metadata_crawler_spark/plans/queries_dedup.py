@@ -1393,14 +1393,22 @@ def neardup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = sizes.groupBy("cluster_size").agg(
         F.count("*").cast("long").alias("n_clusters")
     )
-    tot = sizes.agg(F.sum("cluster_size").alias("t"))
-    j = hist.crossJoin(F.broadcast(tot))
+    # normalizer as a window over the size-bucket histogram (handful of
+    # rows): sum(cluster_size * n_clusters) over the buckets IS the corpus
+    # total, so the spine join + sizes aggregate run exactly once — a
+    # crossJoin(broadcast(sizes.agg(...))) would recompute that lineage
+    # for the total's branch (no ReusedExchange across differing shapes)
+    from pyspark.sql import Window
+
+    t = F.sum(F.col("cluster_size") * F.col("n_clusters")).over(
+        Window.partitionBy(F.lit(1))
+    )
     num = F.col("cluster_size") * F.col("n_clusters") * F.lit(10000)
-    return j.select(
+    return hist.select(
         "cluster_size",
         "n_clusters",
         (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
-        ((num - num % F.col("t")) / F.col("t")).cast("long").alias("doc_share_bp"),
+        ((num - num % t) / t).cast("long").alias("doc_share_bp"),
     )
 
 

@@ -549,17 +549,17 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assigned.groupBy("cell").agg(
         F.count("*").cast("long").alias("n_vecs")
     )
-    tot = sizes.agg(F.sum("n_vecs").alias("t"))
-    j = sizes.crossJoin(F.broadcast(tot))
+    # normalizer as a window over the 16-row cell frame — a
+    # crossJoin(broadcast(agg)) would re-run the assignment GEMM for the
+    # total's branch (no ReusedExchange across differing aggregates)
+    from pyspark.sql import Window
+
+    t = F.sum("n_vecs").over(Window.partitionBy(F.lit(1)))
     share_num = F.col("n_vecs") * F.lit(10000)
     load_num = F.col("n_vecs") * F.lit(16 * 10000)
-    return j.select(
+    return sizes.select(
         "cell",
         "n_vecs",
-        ((share_num - share_num % F.col("t")) / F.col("t"))
-        .cast("long")
-        .alias("share_bp"),
-        ((load_num - load_num % F.col("t")) / F.col("t"))
-        .cast("long")
-        .alias("load_bp"),
+        ((share_num - share_num % t) / t).cast("long").alias("share_bp"),
+        ((load_num - load_num % t) / t).cast("long").alias("load_bp"),
     )

@@ -971,13 +971,19 @@ def packing_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = frag.groupBy("n_fragments").agg(
         F.count("*").cast("long").alias("n_seqs")
     )
-    tot = frag.agg(F.count("*").cast("long").alias("t"))
-    j = hist.crossJoin(F.broadcast(tot))
+    # normalizer as a window over the HISTOGRAM (bucket-sized — max
+    # fragments-per-sequence rows), not a crossJoin(broadcast(agg)): the
+    # cross-join's tot branch re-runs the whole explode + seq aggregate
+    # (no ReusedExchange across the differing aggregate shapes), while the
+    # single-partition window costs one pass over a handful of rows.
+    from pyspark.sql import Window
+
+    t = F.sum("n_seqs").over(Window.partitionBy(F.lit(1)))
     num = F.col("n_seqs") * F.lit(10000)
-    return j.select(
+    return hist.select(
         "n_fragments",
         "n_seqs",
-        ((num - num % F.col("t")) / F.col("t")).cast("long").alias("seq_share_bp"),
+        ((num - num % t) / t).cast("long").alias("seq_share_bp"),
     )
 
 
