@@ -136,6 +136,7 @@ HEADLINE = [
     "char_class_profile",
     "dup_quality_interaction",
     "recrawl_priority",
+    "rare_token_score",
 ]
 
 

@@ -1086,3 +1086,94 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         other.alias("n_other"),
         *bp_cols,
     )
+
+
+RARE_DF_MAX = 2  # a token is 'rare' if it appears in <= 2 documents
+
+
+@register(
+    "rare_token_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                   '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    per AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n_instances,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN df.df <= {RARE_DF_MAX} THEN tf.tf ELSE 0 END)
+                  AS BIGINT) AS n_rare_instances,
+             CAST(sum(CASE WHEN df.df <= {RARE_DF_MAX} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rare_distinct
+      FROM tf JOIN df USING (token) GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_instances, 0) AS n_instances,
+           coalesce(p.n_distinct, 0) AS n_distinct,
+           coalesce(p.n_rare_instances, 0) AS n_rare_instances,
+           coalesce(p.n_rare_distinct, 0) AS n_rare_distinct,
+           CAST((coalesce(p.n_rare_instances, 0) * 10000
+                 - (coalesce(p.n_rare_instances, 0) * 10000)
+                   % greatest(coalesce(p.n_instances, 0), 1))
+                / greatest(coalesce(p.n_instances, 0), 1) AS BIGINT)
+             AS rare_bp
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc="Per-document rare-token score (OOV/garbage detector, the "
+        "integer-exact cousin of a CCNet-style LM filter): token instances "
+        "whose corpus document-frequency is <= RARE_DF_MAX, as counts and "
+        "an exact-bp fraction of the doc's instances — a doc dominated by "
+        "hapax tokens is gibberish, boilerplate IDs, or the wrong "
+        "language, and goes to the drop/review bucket before tokenizer "
+        "training.  The df table is the SAME (doc, token) -> token "
+        "aggregate chain tfidf_top_terms uses; unlike TF-IDF this rests "
+        "on no transcendental, so parity is pure integer arithmetic.  "
+        "Plan: explode -> map-side-combined (doc, token) tf -> "
+        "vocabulary-sized df -> token-keyed join back -> per-doc "
+        "aggregate, then one spine left join restores token-free docs as "
+        "zeros.  At 100 TB the wide shuffles key on token and doc_id only "
+        "— no text moves after the explode.",
+)
+def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(tokenize(F.coalesce(F.col("text"), F.lit("")))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    rare = F.col("df") <= RARE_DF_MAX
+    per = (
+        tf.join(df_, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_instances"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.when(rare, F.col("tf")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_rare_instances"),
+            F.sum(rare.cast("int")).cast("long").alias("n_rare_distinct"),
+        )
+    )
+    j = d.select("doc_id").join(per, "doc_id", "left")
+    ni = F.coalesce(F.col("n_instances"), F.lit(0))
+    nr = F.coalesce(F.col("n_rare_instances"), F.lit(0))
+    denom = F.greatest(ni, F.lit(1))
+    num = nr * F.lit(10000)
+    return j.select(
+        "doc_id",
+        ni.alias("n_instances"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        nr.alias("n_rare_instances"),
+        F.coalesce(F.col("n_rare_distinct"), F.lit(0)).alias("n_rare_distinct"),
+        ((num - num % denom) / denom).cast("long").alias("rare_bp"),
+    )

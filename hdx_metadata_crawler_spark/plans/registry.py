@@ -98,6 +98,7 @@ _PRIORITY_NAMES = [
     "char_class_profile",
     "dup_quality_interaction",
     "recrawl_priority",
+    "rare_token_score",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.

@@ -442,3 +442,43 @@ def test_recrawl_priority_agrees_with_snapshot_diff(spark):
     assert all(
         a["churn_bp"] >= b["churn_bp"] for a, b in zip(by_p, by_p[1:])
     )
+
+
+# ---------------------------------------------------------------------------
+# rare_token_score: pure-Python recount of df and the per-doc rare fraction
+# ---------------------------------------------------------------------------
+
+def test_rare_token_score_matches_python_recount(spark):
+    import re
+    from collections import Counter
+
+    from hdx_metadata_crawler_spark.plans.queries_text import (
+        RARE_DF_MAX,
+        rare_token_score,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    got = {r["doc_id"]: r for r in rare_token_score(spark, SF_SMALL).collect()}
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {
+        r["doc_id"]: [
+            t for t in re.split(r"[^a-z0-9]+", (r["text"] or "").lower()) if t
+        ]
+        for r in docs
+    }
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    assert set(got) == set(toks)
+    for did, ts in toks.items():
+        r = got[did]
+        c = Counter(ts)
+        rare = {t for t in c if df[t] <= RARE_DF_MAX}
+        n_rare = sum(c[t] for t in rare)
+        assert r["n_instances"] == len(ts)
+        assert r["n_distinct"] == len(c)
+        assert r["n_rare_instances"] == n_rare
+        assert r["n_rare_distinct"] == len(rare)
+        assert r["rare_bp"] == (n_rare * 10000) // max(len(ts), 1)
