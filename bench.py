@@ -348,12 +348,13 @@ def main() -> int:
         "cores": args.cores,
         "crawl": crawl,
         # Measurement honesty: these queries share process-level memos — the
-        # simhash pair tier + component labels (VERDICT r04 item 6) and,
-        # since the round-5 continuation, the MinHash(32) signature frame —
-        # so within this suite only the FIRST consumer of each memo pays
-        # that cost and the best-of-2 minimum for the others is a memo-hit
-        # wall.  The suite TOTAL is the meaningful engine number for the
-        # family; a standalone cold run of any one recomputes from scratch.
+        # simhash pair tier + component labels (VERDICT r04 item 6), the
+        # MinHash(32) signature frame, and (continuation #3) the IVF
+        # centroid block — so within this suite only the FIRST consumer of
+        # each memo pays that cost and the best-of-2 minimum for the others
+        # is a memo-hit wall.  The suite TOTAL is the meaningful engine
+        # number for the family; a standalone cold run of any one
+        # recomputes from scratch.
         "cc_shared_memo": [
             "neardup_components",
             "dedup_keep_list",
@@ -364,6 +365,12 @@ def main() -> int:
             "minhash_lsh_dedup",
             "minhash_accuracy_report",
             "simhash_hamming_pairs",
+            "neardup_cluster_histogram",
+            "dup_quality_interaction",
+            "knn_ivf",
+            "semantic_dedup",
+            "ann_recall_report",
+            "ivf_cell_stats",
         ],
     }
     # The driver records only a bounded TAIL of stdout and json-parses the

@@ -479,6 +479,7 @@ def knn_ivf(
     n_probe: int = 4,
     iters: int = 4,
     init_hash_fn=None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: k-means coarse quantizer -> corpus partitioned into
     cells -> each query probes its n_probe nearest cells -> exact cosine
@@ -488,11 +489,17 @@ def knn_ivf(
     (corpus rows shuffle once at index build; queries fan out n_probe ways),
     candidate count ~ n_probe/n_cells of the corpus per query instead of
     all-pairs.  Recall rises with n_probe at linear cost — the standard IVF
-    trade."""
-    centroids = kmeans_centroids(
-        corpus, dim, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
-        init_hash_fn=init_hash_fn,
-    )
+    trade.
+
+    ``centroids``: pass a precomputed (n_cells x dim) block (e.g. the
+    process-level memo in plans/queries_similarity.py) to skip the k-means
+    passes; None recomputes — identical output either way, since the
+    quantizer is a deterministic function of the corpus."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, dim, k=n_cells, iters=iters, id_col=id_col,
+            vec_col=vec_col, init_hash_fn=init_hash_fn,
+        )
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
@@ -535,6 +542,7 @@ def semantic_dedup(
     iters: int = 4,
     init_hash_fn=None,
     n_blocks: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) deduplication, SemDeDup-shaped (Abbas et
     al. 2023, arXiv:2303.09540): cluster the corpus with the deterministic
@@ -559,10 +567,11 @@ def semantic_dedup(
     cell_size^2 linear) and skewed mega-cells are already handled by the
     block split within each cell.
     """
-    centroids = kmeans_centroids(
-        corpus, dim, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
-        init_hash_fn=init_hash_fn,
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, dim, k=n_cells, iters=iters, id_col=id_col,
+            vec_col=vec_col, init_hash_fn=init_hash_fn,
+        )
     assigned = (
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("ve")

@@ -363,12 +363,12 @@ _CC_SHARE_LOCK = threading.Lock()
 _CC_SHARE: dict = {}
 
 
-def _source_stamp(sf_dir: str) -> tuple:
-    """Freshness stamp of the documents table under sf_dir: (mtime_ns, size)
+def _source_stamp(sf_dir: str, table: str = "documents") -> tuple:
+    """Freshness stamp of a source table under sf_dir: (mtime_ns, size)
     of the parquet file, or of every direct child for a directory layout.
     Part of the memo key so a process that rewrites the data under the same
     path never gets served the previous corpus's pair/label frames."""
-    path = os.path.join(sf_dir, "documents.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(path)
         if os.path.isdir(path):

@@ -396,3 +396,40 @@ def test_ann_recall_report_matches_set_intersection(spark):
             hits, recall = got[(method, qid)]
             assert hits == want, (method, qid, hits, want)
             assert recall == round(want / 3.0, 4)
+
+
+def test_ivf_centroid_memo_identity_and_staleness(spark, tmp_path):
+    """The process-level centroid memo returns the SAME block for repeated
+    calls on an unchanged corpus, and recomputes when the embeddings file's
+    freshness stamp changes (same path, rewritten data)."""
+    import shutil
+
+    import numpy as np
+
+    from hdx_metadata_crawler_spark.plans import queries_similarity as qsim
+    from tests.conftest import SF_SMALL
+
+    c1 = qsim._ivf_centroids(spark, SF_SMALL)
+    c2 = qsim._ivf_centroids(spark, SF_SMALL)
+    assert c1 is c2  # memo hit, not a recompute
+    assert c1.shape == (16, 64)
+
+    # same path, rewritten bytes -> new stamp -> recompute (stale entry
+    # evicted: exactly one live entry per sf_dir)
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", d / f"{t}.parquet")
+    p = str(d)
+    a = qsim._ivf_centroids(spark, p)
+    assert np.array_equal(a, c1)  # same corpus bytes -> same quantizer
+    import os
+    import time
+
+    os.utime(d / "embeddings.parquet")
+    time.sleep(0.01)
+    b = qsim._ivf_centroids(spark, p)
+    assert b is not a
+    assert np.array_equal(a, b)
+    with qsim._IVF_CENT_LOCK:
+        assert len([k for k in qsim._IVF_CENT if k[0] == p]) == 1
