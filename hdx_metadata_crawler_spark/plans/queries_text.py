@@ -1150,10 +1150,20 @@ def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").cast("long").alias("tf")
     )
-    df_ = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    # df as a count-window over the tf frame partitioned by token: the
+    # groupBy(token) + join-back alternative makes tf a shared subtree that
+    # Spark computes TWICE (two corpus scans + two explode passes — seen in
+    # .explain); the window pays one token-keyed shuffle on the SAME
+    # lineage instead.  Window size = a token's df (vocabulary-sized
+    # partitions, no doc-sized frame).
+    from pyspark.sql import Window
+
+    wdf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("token")).cast("long")
+    )
     rare = F.col("df") <= RARE_DF_MAX
     per = (
-        tf.join(df_, "token")
+        wdf
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_instances"),
