@@ -630,10 +630,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    idf = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # df as a count-window over the tf frame partitioned by token (round-5
+    # continuation): the groupBy(token) + join-back made tf a shared
+    # subtree Spark computed twice — two corpus scans + two explode/tf
+    # passes in .explain.  One token-keyed shuffle on the SAME lineage
+    # instead; window partitions are a token's df (vocabulary-sized).
+    wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
     n = d.agg(F.count("*").alias("n_total"))
     scored = (
-        tf.join(idf, "token")
+        wdf
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -109,6 +109,7 @@ _PRIORITY_NAMES = [
     "ngram_jaccard_pairs",
     "curation_funnel",
     "minhash_lsh_dedup",
+    "tfidf_top_terms",
 ]
 
 # Flagship per-family block (kept from round 4; families that would
