@@ -137,6 +137,7 @@ HEADLINE = [
     "dup_quality_interaction",
     "recrawl_priority",
     "rare_token_score",
+    "lsh_bucket_stats",
 ]
 
 

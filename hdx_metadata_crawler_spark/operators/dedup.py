@@ -256,6 +256,39 @@ def affine_consts(i: int) -> tuple[int, int]:
     return a, b
 
 
+def minhash_band_buckets(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    bucket_hash_fn=None,
+) -> DataFrame:
+    """The banded (_id, band, bucket) frame: each signature hashed per band
+    over its rows_per_band slots — the SINGLE construction
+    ``minhash_lsh_candidates`` joins on and ``lsh_bucket_stats`` audits
+    (one definition, so the audit can never drift from the join).  Arity
+    must be validated by the caller (see minhash_lsh_candidates)."""
+    if bucket_hash_fn is None:
+        bucket_hash_fn = F.xxhash64
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    bucket_hash_fn(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
     num_hashes: int | None = None, bucket_hash_fn=None,
@@ -281,28 +314,7 @@ def minhash_lsh_candidates(
             f"bands({bands}) x rows_per_band({rows_per_band}) exceeds the "
             f"signature length ({num_hashes})"
         )
-    if bucket_hash_fn is None:
-        bucket_hash_fn = F.xxhash64
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    bucket_hash_fn(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    banded = minhash_band_buckets(sig, bands, rows_per_band, bucket_hash_fn)
     x = banded.alias("x")
     y = banded.alias("y")
     return (

@@ -1590,3 +1590,50 @@ def recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rated.select(
         "*", F.row_number().over(w).cast("long").alias("priority")
     )
+
+
+@register(
+    "lsh_bucket_stats",
+    f"""
+    WITH {_minhash_ctes()},
+    bsz AS (
+      SELECT b AS band, bucket, CAST(count(*) AS BIGINT) AS s
+      FROM mh_banded GROUP BY b, bucket
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(s) AS BIGINT) AS max_bucket_size,
+           CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_buckets,
+           CAST(sum((s * (s - 1) - (s * (s - 1)) % 2) / 2) AS BIGINT)
+             AS est_pairs
+    FROM bsz GROUP BY band
+    """,
+    doc="Banded-LSH bucket skew audit — the MinHash analogue of "
+        "ivf_cell_stats: per band, bucket count, LARGEST bucket and the "
+        "exact candidate-pair mass sum(s*(s-1)/2) the bucket join will "
+        "generate.  At 100 TB a hot bucket (boilerplate-heavy shingle "
+        "profile) is a quadratic task in minhash_lsh_dedup's join; this "
+        "is the report that catches it before the join runs.  Builds on "
+        "the SAME banded frame the join uses (operators/dedup.py "
+        "minhash_band_buckets — factored this session so audit and join "
+        "share one construction) over the memoized signature frame.  "
+        "Plan: banding is a constant 8-way explode of the (row-sized) "
+        "signature frame; both aggregates are map-side combined; output "
+        "is 8 rows.  Oracle reuses the shared mh_ CTE chain.",
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig_frame(spark, sf_dir)
+    banded = dedup.minhash_band_buckets(
+        sig, bands=8, rows_per_band=4, bucket_hash_fn=dedup.md5_hash60
+    )
+    sizes = banded.groupBy(
+        F.col("band"), F.col("bucket")
+    ).agg(F.count("*").cast("long").alias("s"))
+    pr = F.col("s") * (F.col("s") - F.lit(1))
+    return sizes.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("s").cast("long").alias("max_bucket_size"),
+        F.sum((F.col("s") == 1).cast("int")).cast("long").alias("singleton_buckets"),
+        F.sum((pr - pr % F.lit(2)) / F.lit(2)).cast("long").alias("est_pairs"),
+    )

@@ -99,6 +99,7 @@ _PRIORITY_NAMES = [
     "dup_quality_interaction",
     "recrawl_priority",
     "rare_token_score",
+    "lsh_bucket_stats",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.

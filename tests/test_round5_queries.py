@@ -482,3 +482,35 @@ def test_rare_token_score_matches_python_recount(spark):
         assert r["n_rare_instances"] == n_rare
         assert r["n_rare_distinct"] == len(rare)
         assert r["rare_bp"] == (n_rare * 10000) // max(len(ts), 1)
+
+
+# ---------------------------------------------------------------------------
+# lsh_bucket_stats: the audit must describe the join's actual candidates
+# ---------------------------------------------------------------------------
+
+def test_lsh_bucket_stats_bounds_the_candidate_join(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        lsh_bucket_stats,
+        minhash_lsh_dedup,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = lsh_bucket_stats(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert {r["band"] for r in rows} == set(range(8))
+    for r in rows:
+        # every doc lands in exactly one bucket per band
+        assert r["singleton_buckets"] <= r["n_buckets"]
+        assert r["max_bucket_size"] >= 1
+        assert r["est_pairs"] >= 0
+    # sum over buckets of s equals the corpus per band — implied by
+    # n_buckets/singletons/max consistency on at least the trivial bound
+    assert all(r["n_buckets"] <= n_docs for r in rows)
+    # the DISTINCT candidate set is bounded by the per-band pair mass and
+    # reaches at least the largest single band's non-duplicated floor
+    n_cand = minhash_lsh_dedup(spark, SF_SMALL).select("id_a", "id_b").count()
+    total_pairs = sum(r["est_pairs"] for r in rows)
+    assert n_cand <= total_pairs
+    # a distinct pair collides in at most 8 bands, so the mass the audit
+    # reports can overstate the join by at most that factor
+    assert n_cand * 8 >= total_pairs
