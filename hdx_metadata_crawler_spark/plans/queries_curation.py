@@ -825,8 +825,15 @@ def mix_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
-    tot = per.agg(F.sum("weight_bp").alias("total_w"))
-    j = per.crossJoin(F.broadcast(tot))
+    # budget normalizer as a window over the strata-sized per-source frame
+    # (round-5 continuation): the crossJoin(broadcast(per.agg(...))) form
+    # recomputed the corpus scan + tokenize + aggregate for the total's
+    # branch (no ReusedExchange across differing aggregate shapes)
+    from pyspark.sql import Window
+
+    j = per.withColumn(
+        "total_w", F.sum("weight_bp").over(Window.partitionBy(F.lit(1)))
+    )
     prod = F.col("weight_bp") * F.lit(TOKEN_BUDGET)
     alloc = ((prod - prod % F.col("total_w")) / F.col("total_w")).cast("long")
     j = j.withColumn("alloc_tokens", alloc)
