@@ -138,6 +138,7 @@ HEADLINE = [
     "recrawl_priority",
     "rare_token_score",
     "lsh_bucket_stats",
+    "pii_hit_report",
 ]
 
 

@@ -849,3 +849,91 @@ def mix_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         (epochs > 1.0).alias("oversampled"),
     )
+
+
+def _pii_hit_oracle() -> str:
+    from ..operators.curation import PII_BANK, inject_pii_sql
+
+    # sequential match-count chain: each kind counts on the text AFTER the
+    # earlier kinds were redacted — the exact hits redact_pii's in-order
+    # replace chain performs (emails first so later digit sweeps never see
+    # their local parts)
+    ctes = [
+        "b0 AS (SELECT coalesce(source, '') AS source, "
+        f"{inject_pii_sql('text', 'doc_id')} AS t0 FROM documents)"
+    ]
+    for i, (kind, pat, repl) in enumerate(PII_BANK):
+        ctes.append(
+            f"b{i + 1} AS (SELECT source, "
+            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) AS n_{kind}, "
+            + (", ".join(f"n_{k}" for k, _, _ in PII_BANK[:i]) + ", " if i else "")
+            + f"regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1} "
+            f"FROM b{i})"
+        )
+    last = len(PII_BANK)
+    aggs = ", ".join(
+        f"CAST(sum(n_{k}) AS BIGINT) AS m_{k}, "
+        f"CAST(sum(CASE WHEN n_{k} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_{k}"
+        for k, _, _ in PII_BANK
+    )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT source, '{k}' AS kind, d_{k} AS n_docs_hit, m_{k} AS n_matches FROM per"
+        for k, _, _ in PII_BANK
+    )
+    cte = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte},
+    per AS (SELECT source, {aggs} FROM b{last} GROUP BY source)
+    {unions}
+    """
+
+
+@register(
+    "pii_hit_report",
+    _pii_hit_oracle(),
+    doc="PII-redaction audit: per (source, kind), how many documents hit "
+        "each PII pattern and how many total matches the redaction chain "
+        "replaces — the report a privacy owner reads next to "
+        "pii_redaction's output (which source leaks emails, where the "
+        "dotted quads concentrate).  Counts follow the SAME in-order "
+        "semantics as redact_pii (each kind counted after earlier kinds "
+        "are redacted), and the pattern bank, replacement tags and "
+        "injection device are the operators/curation.py constants "
+        "interpolated once.  Plan: map-only regexp counting chained in "
+        "one projection cascade, one strata-sized aggregate, a 3-way "
+        "stack — zero-hit strata kept as explicit zero rows so silence "
+        "and absence are distinguishable.  Exact integers end to end.",
+)
+def pii_hit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import PII_BANK, inject_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        inject_pii(F.col("text"), F.col("doc_id")).alias("t0"),
+    )
+    for i, (kind, pat, repl) in enumerate(PII_BANK):
+        rows = rows.select(
+            "*",
+            F.size(
+                F.regexp_extract_all(F.col(f"t{i}"), F.lit(pat), F.lit(0))
+            ).cast("long").alias(f"n_{kind}"),
+            F.regexp_replace(F.col(f"t{i}"), pat, repl).alias(f"t{i + 1}"),
+        )
+    per = rows.groupBy("source").agg(
+        *[
+            a
+            for k, _, _ in PII_BANK
+            for a in (
+                F.sum(f"n_{k}").cast("long").alias(f"m_{k}"),
+                F.sum((F.col(f"n_{k}") > 0).cast("int")).cast("long").alias(f"d_{k}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(f"'{k}', d_{k}, m_{k}" for k, _, _ in PII_BANK)
+    return per.select(
+        "source",
+        F.expr(
+            f"stack({len(PII_BANK)}, {stack_args}) AS (kind, n_docs_hit, n_matches)"
+        ),
+    )

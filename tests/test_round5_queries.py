@@ -514,3 +514,37 @@ def test_lsh_bucket_stats_bounds_the_candidate_join(spark):
     # a distinct pair collides in at most 8 bands, so the mass the audit
     # reports can overstate the join by at most that factor
     assert n_cand * 8 >= total_pairs
+
+
+# ---------------------------------------------------------------------------
+# pii_hit_report: strata sums must equal pii_redaction's per-doc counts
+# ---------------------------------------------------------------------------
+
+def test_pii_hit_report_conserves_redaction_counts(spark):
+    from hdx_metadata_crawler_spark.operators.curation import PII_BANK
+    from hdx_metadata_crawler_spark.plans.queries_curation import (
+        pii_hit_report,
+        pii_redaction,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = pii_hit_report(spark, SF_SMALL).collect()
+    kinds = [k for k, _, _ in PII_BANK]
+    # every (source, kind) stratum is present, zeros included
+    n_sources = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.coalesce(F.col("source"), F.lit("")))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * len(kinds)
+    # totals equal the per-doc counts pii_redaction reports
+    red = pii_redaction(spark, SF_SMALL).agg(
+        *[F.sum(f"n_{k}").alias(k) for k in kinds]
+    ).collect()[0]
+    for k in kinds:
+        tot = sum(r["n_matches"] for r in rows if r["kind"] == k)
+        assert tot == red[k]
+        assert tot > 0  # injection guarantees live hits, not a vacuous zero
+    for r in rows:
+        assert r["n_docs_hit"] <= r["n_matches"] or r["n_matches"] == 0
