@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY registered query (134/134 — the
+    """DuckDB-equivalent SQL for EVERY registered query (135/135 — the
     sketches/ANN use portable md5-derived hashes and inlined plane/k-means
     constants so DuckDB recomputes them independently; the round-4
     connected-components queries are closed against a recursive

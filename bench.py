@@ -139,6 +139,7 @@ HEADLINE = [
     "rare_token_score",
     "lsh_bucket_stats",
     "pii_hit_report",
+    "hot_shingle_report",
 ]
 
 

@@ -52,9 +52,12 @@ def exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = f"""
-WITH idx AS (
-  SELECT _id, {dedup.MD5_HASH60_SQL.format(x='shingle')} AS sh_h
+def _shingle_idx_cte(src: str = "documents") -> str:
+    """The (doc, shingle, shingle-digest) inverted-index CTE — single
+    source shared by the Jaccard-join oracle and hot_shingle_report, so
+    the shingle rule (3-gram, short-doc fallback) can never drift."""
+    return f"""idx AS (
+  SELECT _id, shingle, {dedup.MD5_HASH60_SQL.format(x='shingle')} AS sh_h
   FROM (
     SELECT doc_id AS _id, unnest(shingles) AS shingle
     FROM (
@@ -66,10 +69,14 @@ WITH idx AS (
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                                t -> t <> '') AS toks
-            FROM documents)
+            FROM {src})
     )
   )
-),
+)"""
+
+
+_JACCARD_ORACLE = f"""
+WITH {_shingle_idx_cte()},
 sizes AS (SELECT _id, count(*) AS n_sh FROM idx GROUP BY _id),
 inter AS (
   SELECT a._id AS id_a, b._id AS id_b, count(*) AS n_inter
@@ -1636,4 +1643,74 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s").cast("long").alias("max_bucket_size"),
         F.sum((F.col("s") == 1).cast("int")).cast("long").alias("singleton_buckets"),
         F.sum((pr - pr % F.lit(2)) / F.lit(2)).cast("long").alias("est_pairs"),
+    )
+
+
+HOT_SHINGLE_CAP = 8    # report flag: df above this would be dropped by a
+                       # max_doc_freq=8 cap in ngram_jaccard_pairs
+HOT_SHINGLE_TOP = 25
+
+
+@register(
+    "hot_shingle_report",
+    f"""
+    WITH {_shingle_idx_cte()},
+    sdf AS (SELECT sh_h, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY sh_h),
+    top AS (
+      SELECT sh_h, df,
+             CAST(row_number() OVER (ORDER BY df DESC, sh_h) AS BIGINT) AS rnk
+      FROM sdf
+    ),
+    lab AS (SELECT DISTINCT sh_h, shingle FROM idx)
+    SELECT t.rnk, t.sh_h AS shingle_digest, l.shingle, t.df,
+           CAST((t.df * (t.df - 1) - (t.df * (t.df - 1)) % 2) / 2 AS BIGINT)
+             AS est_join_rows,
+           t.df > {HOT_SHINGLE_CAP} AS would_cap
+    FROM top t JOIN lab l USING (sh_h)
+    WHERE t.rnk <= {HOT_SHINGLE_TOP}
+    """,
+    doc="Hot-shingle skew audit for the exact Jaccard join — the "
+        "inverted-index analogue of lsh_bucket_stats: top-25 shingles by "
+        "document frequency (total order: df desc, digest asc), the "
+        "df*(df-1)/2 join rows each would generate, and whether a "
+        "max_doc_freq=HOT_SHINGLE_CAP cap would drop it.  At 100 TB ONE "
+        "corpus-wide boilerplate shingle dominates the whole self-join "
+        "shuffle; this report names the stop-shingles before the join "
+        "runs.  Plan: digest-first df aggregate (8-byte keys — shingle "
+        "TEXT never enters the wide shuffle), TakeOrdered top-25, then "
+        "display text restored by a broadcast semi-join of the 25 "
+        "survivor digests (the duplicate_passages join-back device).  "
+        "Oracle shares the factored _shingle_idx_cte with the Jaccard "
+        "join's oracle.",
+)
+def hot_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = dedup.shingle_index(d, "doc_id", "text", 3).select(
+        "shingle", dedup.md5_hash60(F.col("shingle")).alias("sh_h")
+    )
+    sdf = idx.select("sh_h").groupBy("sh_h").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    top = sdf.orderBy(F.desc("df"), F.asc("sh_h")).limit(HOT_SHINGLE_TOP)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("df"), F.asc("sh_h")))
+        .cast("long"),
+    )
+    lab = (
+        idx.join(F.broadcast(ranked.select("sh_h")), "sh_h")
+        .select("sh_h", "shingle")
+        .distinct()
+    )
+    pr = F.col("df") * (F.col("df") - F.lit(1))
+    return ranked.join(lab, "sh_h").select(
+        "rnk",
+        F.col("sh_h").alias("shingle_digest"),
+        "shingle",
+        "df",
+        ((pr - pr % F.lit(2)) / F.lit(2)).cast("long").alias("est_join_rows"),
+        (F.col("df") > HOT_SHINGLE_CAP).alias("would_cap"),
     )

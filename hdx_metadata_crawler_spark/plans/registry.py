@@ -101,6 +101,7 @@ _PRIORITY_NAMES = [
     "rare_token_score",
     "lsh_bucket_stats",
     "pii_hit_report",
+    "hot_shingle_report",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.

@@ -548,3 +548,43 @@ def test_pii_hit_report_conserves_redaction_counts(spark):
         assert tot > 0  # injection guarantees live hits, not a vacuous zero
     for r in rows:
         assert r["n_docs_hit"] <= r["n_matches"] or r["n_matches"] == 0
+
+
+# ---------------------------------------------------------------------------
+# hot_shingle_report: pure-Python recount of the shingle document frequency
+# ---------------------------------------------------------------------------
+
+def test_hot_shingle_report_matches_python_recount(spark):
+    import re
+    from collections import Counter
+
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        HOT_SHINGLE_CAP,
+        HOT_SHINGLE_TOP,
+        hot_shingle_report,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = hot_shingle_report(spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    df = Counter()
+    for r in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", (r["text"] or "").lower()) if t]
+        if len(toks) >= 3:
+            sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        else:
+            sh = {" ".join(toks)}
+        df.update(sh)
+    want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert len(rows) == HOT_SHINGLE_TOP
+    got = {r["shingle"]: r for r in rows}
+    # reported dfs are exact, and the reported SET is a valid top-25 under
+    # the (df desc, digest asc) order: every reported df >= the 26th df
+    for sh, r in got.items():
+        assert df[sh] == r["df"]
+        assert r["est_join_rows"] == r["df"] * (r["df"] - 1) // 2
+        assert r["would_cap"] == (r["df"] > HOT_SHINGLE_CAP)
+    floor = want[HOT_SHINGLE_TOP][1] if len(want) > HOT_SHINGLE_TOP else 0
+    assert all(r["df"] >= floor for r in rows)
+    ranks = sorted(r["rnk"] for r in rows)
+    assert ranks == list(range(1, HOT_SHINGLE_TOP + 1))
