@@ -1686,7 +1686,7 @@ HOT_SHINGLE_TOP = 25
 def hot_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     idx = dedup.shingle_index(d, "doc_id", "text", 3).select(
         "shingle", dedup.md5_hash60(F.col("shingle")).alias("sh_h")
     )
@@ -1699,7 +1699,11 @@ def hot_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.desc("df"), F.asc("sh_h")))
         .cast("long"),
-    )
+        # 25 rows, consumed by TWO branches (the broadcast filter and the
+        # final join) — without the checkpoint each branch re-runs the df
+        # aggregate AND its TakeOrdered (3 extra corpus shingle passes,
+        # 10.4 -> ~3 s at sf0.1)
+    ).localCheckpoint(eager=True)
     lab = (
         idx.join(F.broadcast(ranked.select("sh_h")), "sh_h")
         .select("sh_h", "shingle")
