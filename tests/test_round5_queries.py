@@ -588,3 +588,75 @@ def test_hot_shingle_report_matches_python_recount(spark):
     assert all(r["df"] >= floor for r in rows)
     ranks = sorted(r["rnk"] for r in rows)
     assert ranks == list(range(1, HOT_SHINGLE_TOP + 1))
+
+
+# ---------------------------------------------------------------------------
+# plan shapes for the continuation perf fixes (lock the wins in)
+# ---------------------------------------------------------------------------
+
+def _doc_text_scan_count(df) -> int:
+    """Number of parquet scans of the documents table that read the text
+    column — the thing the df-window rewrites exist to keep at ONE."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for ln in plan.splitlines():
+        if "Scan parquet" in ln or "FileScan parquet" in ln:
+            if "documents" in ln and "text" in ln:
+                n += 1
+    return n
+
+
+def test_rare_token_score_single_text_scan(spark):
+    from hdx_metadata_crawler_spark.plans.queries_text import rare_token_score
+
+    df = rare_token_score(spark, SF_SMALL)
+    df.write.mode("overwrite").format("noop").save()
+    assert _doc_text_scan_count(df) == 1
+
+
+def test_tfidf_single_text_scan(spark):
+    from hdx_metadata_crawler_spark.plans.queries_text import tfidf_top_terms
+
+    df = tfidf_top_terms(spark, SF_SMALL)
+    df.write.mode("overwrite").format("noop").save()
+    assert _doc_text_scan_count(df) == 1
+
+
+def test_mix_epochs_plan_single_text_scan(spark):
+    from hdx_metadata_crawler_spark.plans.queries_curation import mix_epochs_plan
+
+    df = mix_epochs_plan(spark, SF_SMALL)
+    df.write.mode("overwrite").format("noop").save()
+    assert _doc_text_scan_count(df) == 1
+
+
+def test_hot_shingle_wide_aggregate_is_digest_only(spark):
+    """The vocabulary-sized df aggregate must shuffle shingle DIGESTS, not
+    shingle text.  Exactly ONE exchange may carry the `shingle` string —
+    the survivor-side distinct AFTER the broadcast semi-join on the 25
+    checkpointed digests, whose map-side partial dedup bounds it at <= 25
+    rows per input partition."""
+    import re
+
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        HOT_SHINGLE_TOP,
+        hot_shingle_report,
+    )
+
+    df = hot_shingle_report(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    text_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and re.search(r"\bshingle#\d+", ln)
+    ]
+    assert len(text_exchanges) == 1, text_exchanges
+    # and that one is the survivor distinct: keyed on (digest, shingle),
+    # downstream of the broadcast filter (the broadcast join must exist).
+    # The wide df aggregate itself never appears here — ranked is an eager
+    # localCheckpoint, so the final plan reads the 25-row checkpoint and
+    # the only text-carrying shuffle left is the survivor-bounded distinct
+    # (<= HOT_SHINGLE_TOP rows per input partition after map-side dedup).
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed 25-row frame
+    assert HOT_SHINGLE_TOP == 25
