@@ -126,6 +126,12 @@ def ngram_jaccard_pairs(
     idx = shingle_index(df, id_col, text_col, n).select(
         "_id", md5_hash60(F.col("shingle")).alias("sh_h")
     )
+    # eager checkpoint: the digest index feeds FOUR branches (self-join a,
+    # self-join b, per-doc sizes, optionally the hot-shingle filter) — each
+    # re-ran the corpus text scan + explode + md5 (4 full text passes in
+    # .explain).  The materialized index is (id, 8-byte digest) rows, an
+    # order of magnitude smaller than the text it replaces re-reading.
+    idx = idx.localCheckpoint(eager=True)
     sizes = idx.groupBy("_id").agg(F.count("*").alias("n_sh"))
     if max_doc_freq is not None:
         hot = (
