@@ -834,6 +834,10 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("p_h"))
         .limit(TOP_PASSAGES)
+        # <= 25 rows, consumed TWICE (disp's broadcast filter + the final
+        # join) — without the checkpoint the second consumer re-runs the
+        # whole digest count chain including its corpus text pass
+        .localCheckpoint(eager=True)
     )
     # Recover display text for the <=25 survivors: broadcast the digest set
     # against a second map-stage scan (no wide shuffle — only matching rows
