@@ -140,6 +140,12 @@ HEADLINE = [
     "lsh_bucket_stats",
     "pii_hit_report",
     "hot_shingle_report",
+    # winnowing (MOSS) — the local/position-aware sketch family
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    # eval-integrity + threshold-calibration reports
+    "eval_leak_report",
+    "neardup_threshold_sweep",
 ]
 
 

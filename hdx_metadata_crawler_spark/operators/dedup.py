@@ -969,3 +969,99 @@ def snapshot_diff(
             F.coalesce("_curr_digest", F.lit(-1).cast("long")).alias("curr_digest"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    w: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS sketch): hash every token ``n``-gram, slide a
+    window of ``w`` consecutive gram hashes over the document, and in each
+    window select the MINIMUM hash, rightmost position on ties.  The
+    distinct selected (position, hash) pairs are the document's
+    fingerprints.
+
+    Unlike MinHash/SimHash (global, position-blind), winnowing is LOCAL:
+    it guarantees that any substring match of at least ``w + n - 1``
+    tokens between two documents shares at least one selected
+    fingerprint, while keeping expected density ~2/(w+1) of positions.
+    That makes it the standard sketch for partial-overlap detection
+    (plagiarism / license-text / quotation reuse) where whole-document
+    sketches dilute away a shared passage.
+
+    Plan shape (100 TB): tokenize + gram + digest all happen in ONE map
+    stage; the window-membership fan-out is a constant ``w`` explode over
+    (id, pos, 8-byte digest) rows — no text in any exchange; window
+    argmin is a map-side-combinable struct-min groupBy on (id,
+    window_start).  Selection via lexicographic min over struct(hash,
+    -pos) == "min hash, rightmost on ties" exactly (equal digests from
+    repeated grams inside one window are REAL, not just md5 collisions).
+    Short docs (< w grams, incl. the whole-doc fallback gram of
+    ``ngram_grams``) get one window covering every gram — every doc
+    yields >= 1 fingerprint, so downstream reports need no zero spine.
+
+    Returns one row per fingerprint: (_id, n_grams, n_windows, p, h).
+    ``hash_fn`` defaults to the portable ``md5_hash60`` twin
+    (MD5_HASH60_SQL) so the whole chain is oracle-checkable; pass
+    ``F.xxhash64`` composed over the gram for the one-pass production
+    hash — the selection algebra is hash-agnostic.
+    """
+    if hash_fn is None:
+        hash_fn = md5_hash60
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            ngram_grams(F.col(text_col), n).alias("_gs"),
+        )
+        .select(
+            "_id",
+            F.size("_gs").cast("long").alias("n_grams"),
+            F.posexplode("_gs").alias("p", "gram"),
+        )
+        .select(
+            "_id",
+            "n_grams",
+            F.col("p").cast("long").alias("p"),
+            hash_fn(F.col("gram")).alias("h"),
+        )
+    )
+    # window membership: gram at p belongs to windows starting at
+    # s = p - o for o in [0, w); valid starts are [0, max(n_grams - w, 0)]
+    wins = (
+        grams.select(
+            "_id",
+            "n_grams",
+            "p",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("o"),
+        )
+        .withColumn("s", F.col("p") - F.col("o"))
+        .filter(
+            (F.col("s") >= 0)
+            & (F.col("s") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        )
+    )
+    sel = wins.groupBy("_id", "s").agg(
+        F.min(
+            F.struct(F.col("h").alias("h"), (-F.col("p")).alias("negp"))
+        ).alias("sel"),
+        F.first("n_grams").alias("n_grams"),
+    )
+    return (
+        sel.select(
+            "_id",
+            "n_grams",
+            F.col("sel.h").alias("h"),
+            (-F.col("sel.negp")).cast("long").alias("p"),
+        )
+        .distinct()
+        .withColumn(
+            "n_windows",
+            F.greatest(F.col("n_grams") - F.lit(w - 1), F.lit(1)).cast("long"),
+        )
+    )

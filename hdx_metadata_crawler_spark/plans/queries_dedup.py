@@ -1722,3 +1722,373 @@ def hot_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((pr - pr % F.lit(2)) / F.lit(2)).cast("long").alias("est_join_rows"),
         (F.col("df") > HOT_SHINGLE_CAP).alias("would_cap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — local, position-aware sketch
+# ---------------------------------------------------------------------------
+
+# Winnowing parameters: token-3-gram hashes, window of 4 consecutive gram
+# hashes => any shared token run of >= WINNOW_W + WINNOW_N - 1 = 6 tokens
+# is GUARANTEED to share a fingerprint (the winnowing theorem), at
+# expected density ~2/(w+1) of gram positions.  The gram rule (3-gram +
+# short-doc fallback) is the SAME as rep_grams / _shingle_idx_cte, so the
+# oracle CTE below hardcodes the 3-ary concat — guarded by the assert.
+WINNOW_N = 3
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+assert WINNOW_N == 3  # the oracle CTE hardcodes the 3-ary gram concat
+
+
+def _winnow_ctes(src: str = "documents") -> str:
+    """Winnowing CTE chain (prefixed ``win_``) — ends in
+    ``win_fp(doc_id, h, p)`` (selected fingerprints, distinct) and
+    ``win_sizes(doc_id, n_grams, n_windows)``.  The argmin-with-rightmost-
+    tie-break is computed as min-then-argmax-join (plain integer ops on
+    both engines) — the Spark side's lexicographic struct-min over
+    (h, -p) is the same function."""
+    h_of_gram = dedup.MD5_HASH60_SQL.format(x="grams[i]")
+    return f"""win_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM {src}
+),
+win_g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {WINNOW_N} THEN
+      list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [coalesce(array_to_string(toks, ' '), '')] END AS grams
+  FROM win_toks
+),
+win_pos AS (
+  SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         CAST(ph.p AS BIGINT) AS p, ph.h AS h
+  FROM (
+    SELECT doc_id, len(grams) AS n_grams,
+           unnest(list_transform(range(1, len(grams) + 1),
+                  i -> struct_pack(p := i - 1, h := {h_of_gram}))) AS ph
+    FROM win_g
+  )
+),
+win_mem AS (
+  SELECT doc_id, n_grams, p, h, p - o AS s
+  FROM win_pos CROSS JOIN (SELECT unnest(range(0, {WINNOW_W})) AS o) offs
+  WHERE p - o >= 0 AND p - o <= greatest(n_grams - {WINNOW_W}, 0)
+),
+win_min AS (
+  SELECT doc_id, s, min(h) AS mh FROM win_mem GROUP BY doc_id, s
+),
+win_sel AS (
+  SELECT m.doc_id, m.mh AS h, CAST(max(g.p) AS BIGINT) AS p
+  FROM win_min m JOIN win_mem g
+    ON g.doc_id = m.doc_id AND g.s = m.s AND g.h = m.mh
+  GROUP BY m.doc_id, m.s, m.mh
+),
+win_fp AS (
+  SELECT DISTINCT doc_id, h, p FROM win_sel
+),
+win_sizes AS (
+  SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+         CAST(greatest(max(n_grams) - {WINNOW_W} + 1, 1) AS BIGINT) AS n_windows
+  FROM win_pos GROUP BY doc_id
+)"""
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH {_winnow_ctes()}
+    SELECT f.doc_id, z.n_grams, z.n_windows,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(count(*) * 10000 // z.n_windows AS BIGINT) AS density_bp
+    FROM win_fp f JOIN win_sizes z ON f.doc_id = z.doc_id
+    GROUP BY f.doc_id, z.n_grams, z.n_windows
+    """,
+    doc="Per-doc winnowing fingerprint profile (Schleimer et al. SIGMOD'03 "
+        "— the MOSS sketch): 3-gram hashes, window w=4, min-hash-rightmost "
+        "selection; reports gram/window/fingerprint counts and selected "
+        "density in exact integer basis points (theorem: any >= 6-token "
+        "shared run is caught; expected density ~2/(w+1) = 4000 bp). The "
+        "position-aware LOCAL sketch complementing the global MinHash / "
+        "SimHash tiers (operators/dedup.py winnow_fingerprints; digest-only "
+        "shuffles, constant w fan-out).",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    fp = dedup.winnow_fingerprints(d, "doc_id", "text", n=WINNOW_N, w=WINNOW_W)
+    return (
+        fp.groupBy(F.col("_id").alias("doc_id"), "n_grams", "n_windows")
+        .agg(F.count("*").cast("long").alias("n_fingerprints"))
+        .withColumn(
+            "density_bp",
+            F.expr("CAST(div(n_fingerprints * 10000, n_windows) AS BIGINT)"),
+        )
+    )
+
+
+@register(
+    "winnowing_overlap_pairs",
+    f"""
+    WITH {_winnow_ctes()},
+    win_doc AS (SELECT DISTINCT doc_id, h FROM win_fp),
+    win_cnt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+      FROM win_doc GROUP BY doc_id
+    ),
+    win_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM win_doc a JOIN win_doc b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared, ca.n_fp AS n_a, cb.n_fp AS n_b,
+           CAST(n_shared * 10000 // least(ca.n_fp, cb.n_fp) AS BIGINT)
+             AS overlap_bp
+    FROM win_pairs p
+    JOIN win_cnt ca ON p.id_a = ca.doc_id
+    JOIN win_cnt cb ON p.id_b = cb.doc_id
+    WHERE n_shared >= {WINNOW_MIN_SHARED}
+    """,
+    doc="Document pairs sharing >= 2 winnowing fingerprints (position-"
+        "dropped, doc-level distinct) with overlap coefficient in exact "
+        "integer basis points — the partial-overlap / quotation-reuse "
+        "detector that global sketches dilute away: a shared 6-token run "
+        "guarantees a shared fingerprint regardless of how much unrelated "
+        "text surrounds it. Join is on 8-byte digests only (never text); "
+        "fingerprint density ~2/(w+1) keeps the inverted index a fraction "
+        "of the full shingle index's volume.",
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    fp = dedup.winnow_fingerprints(d, "doc_id", "text", n=WINNOW_N, w=WINNOW_W)
+    doc_h = fp.select("_id", "h").distinct()
+    cnt = doc_h.groupBy("_id").agg(F.count("*").cast("long").alias("n_fp"))
+    a = doc_h.select(F.col("_id").alias("id_a"), "h")
+    b = doc_h.select(F.col("_id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(cnt.select(F.col("_id").alias("id_a"), F.col("n_fp").alias("n_a")), "id_a")
+        .join(cnt.select(F.col("_id").alias("id_b"), F.col("n_fp").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(div(n_shared * 10000, least(n_a, n_b)) AS BIGINT)"
+            ).alias("overlap_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reverse decontamination: which EVAL items are compromised
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_leak_report",
+    f"""
+    WITH {_decontam_ctes()},
+    el_spine AS (SELECT doc_id AS eval_id FROM dc_flagged WHERE is_eval),
+    el_ev AS (
+      SELECT DISTINCT doc_id AS eval_id, shingle FROM (
+        SELECT doc_id, unnest(shingles) AS shingle
+        FROM dc_flagged WHERE is_eval
+      ) WHERE shingle <> ''
+    ),
+    el_sizes AS (
+      SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM el_ev GROUP BY eval_id
+    ),
+    el_matched AS (
+      SELECT e.eval_id, e.shingle, i.doc_id AS corpus_id
+      FROM el_ev e JOIN dc_idx i USING (shingle)
+    ),
+    el_agg AS (
+      SELECT eval_id,
+             CAST(count(DISTINCT shingle) AS BIGINT) AS n_leaked_shingles,
+             CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_corpus_docs
+      FROM el_matched GROUP BY eval_id
+    )
+    SELECT s.eval_id,
+           CAST(coalesce(z.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(a.n_leaked_shingles, 0) AS BIGINT) AS n_leaked_shingles,
+           CAST(coalesce(a.n_leaked_shingles, 0) * 10000
+                // greatest(coalesce(z.n_shingles, 0), 1) AS BIGINT) AS leak_bp,
+           CAST(coalesce(a.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+           coalesce(a.n_leaked_shingles, 0) > 0 AS compromised
+    FROM el_spine s
+    LEFT JOIN el_sizes z ON s.eval_id = z.eval_id
+    LEFT JOIN el_agg a ON s.eval_id = a.eval_id
+    """,
+    doc="Reverse decontamination — eval-set integrity: per EVAL doc (same "
+        "portable 1-in-20 md5 split benchmark_decontamination strips "
+        "against), how many of its distinct word 5-grams also occur in the "
+        "training corpus, how many distinct corpus docs share one, leaked "
+        "share in exact integer basis points, and the compromised flag. "
+        "benchmark_decontamination answers 'which training docs to drop'; "
+        "this answers 'which benchmark items are no longer trustworthy' — "
+        "the report an eval owner reads.  Plan: the eval (doc, shingle) "
+        "index is tiny and broadcast; the corpus inverted index joins it "
+        "and only MATCHED rows shuffle, keyed by eval doc (one corpus "
+        "scan, exchanges carry no text beyond the matched shingles).  "
+        "Zero-leak and zero-shingle eval docs kept via the spine left "
+        "join (NULL text == empty text rule).",
+)
+def eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    is_eval = eval_split_col()
+    ev_docs = d.filter(is_eval)
+    spine = ev_docs.select(F.col("doc_id").alias("eval_id"))
+    ev_idx = (
+        ev_docs.select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(dedup.shingles(F.col("text"), 5)).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    sizes = ev_idx.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    corpus_idx = d.filter(~is_eval).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.explode(dedup.shingles(F.col("text"), 5)).alias("shingle"),
+    )
+    agg = (
+        corpus_idx.join(F.broadcast(ev_idx), "shingle")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_leaked_shingles"),
+            F.countDistinct("corpus_id").cast("long").alias("n_corpus_docs"),
+        )
+    )
+    return (
+        spine.join(sizes, "eval_id", "left")
+        .join(agg, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_leaked_shingles", F.lit(0))
+            .cast("long")
+            .alias("n_leaked_shingles"),
+            F.expr(
+                "CAST(div(coalesce(n_leaked_shingles, 0) * 10000,"
+                " greatest(coalesce(n_shingles, 0), 1)) AS BIGINT)"
+            ).alias("leak_bp"),
+            F.coalesce("n_corpus_docs", F.lit(0))
+            .cast("long")
+            .alias("n_corpus_docs"),
+            (F.coalesce("n_leaked_shingles", F.lit(0)) > 0).alias("compromised"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine near-dup threshold calibration sweep
+# ---------------------------------------------------------------------------
+
+# Thresholds in exact integer basis points; the pair tier is computed ONCE
+# at the lowest threshold and each sweep row counts the pairs/docs
+# surviving its cutoff — the calibration curve a curation owner reads
+# before fixing the dedup threshold.
+SWEEP_BPS = (3000, 4000, 5000, 6000, 7000, 8000, 9000)
+SWEEP_MIN = min(SWEEP_BPS) / 10000.0
+
+
+@register(
+    "neardup_threshold_sweep",
+    f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    sw_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(round({dedup.COSINE_SQL.format(a="a.ve", b="b.ve")} * 10000, 0)
+               AS BIGINT) AS cos_bp
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {dedup.COSINE_SQL.format(a="a.ve", b="b.ve")} >= {SWEEP_MIN}
+    ),
+    sw_spine AS (
+      SELECT CAST(t AS BIGINT) AS threshold_bp
+      FROM (SELECT unnest({list(SWEEP_BPS)}) AS t)
+    ),
+    sw_counts AS (
+      SELECT t.threshold_bp,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM sw_spine t JOIN sw_pairs p ON p.cos_bp >= t.threshold_bp
+      GROUP BY t.threshold_bp
+    ),
+    sw_docs AS (
+      SELECT threshold_bp, CAST(count(DISTINCT vid) AS BIGINT) AS n_docs
+      FROM (
+        SELECT t.threshold_bp, p.id_a AS vid FROM sw_spine t
+        JOIN sw_pairs p ON p.cos_bp >= t.threshold_bp
+        UNION ALL
+        SELECT t.threshold_bp, p.id_b AS vid FROM sw_spine t
+        JOIN sw_pairs p ON p.cos_bp >= t.threshold_bp
+      ) GROUP BY threshold_bp
+    )
+    SELECT s.threshold_bp,
+           CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs
+    FROM sw_spine s
+    LEFT JOIN sw_counts c ON s.threshold_bp = c.threshold_bp
+    LEFT JOIN sw_docs d ON s.threshold_bp = d.threshold_bp
+    """,
+    doc="Cosine near-dup threshold calibration: the exact pair tier is "
+        "computed ONCE at the 0.30 floor (blocked-GEMM kernel, no "
+        "all-pairs materialization beyond the floor), cosines are "
+        "projected to exact integer basis points, and each sweep row "
+        "reports surviving pair count and distinct docs involved at its "
+        "cutoff — the pairs-vs-threshold curve read before fixing "
+        "semantic_dedup's threshold.  Zero-pair cutoffs kept via the "
+        "threshold spine; integer compares on both engines (no float "
+        "boundary in the value hash).",
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs_block
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_block(e, threshold=SWEEP_MIN).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("cos_sim") * 10000).cast("long").alias("cos_bp"),
+    )
+    # the pair tier feeds both the pair count and the distinct-doc count —
+    # checkpoint so the GEMM kernel runs once, not twice
+    pairs = pairs.localCheckpoint(eager=True)
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in SWEEP_BPS])
+        ).alias("threshold_bp")
+    )
+    joined = spine.join(pairs, F.col("cos_bp") >= F.col("threshold_bp"))
+    counts = joined.groupBy("threshold_bp").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    docs = (
+        joined.select("threshold_bp", F.col("id_a").alias("vid"))
+        .unionAll(joined.select("threshold_bp", F.col("id_b").alias("vid")))
+        .groupBy("threshold_bp")
+        .agg(F.countDistinct("vid").cast("long").alias("n_docs"))
+    )
+    return (
+        spine.join(counts, "threshold_bp", "left")
+        .join(docs, "threshold_bp", "left")
+        .select(
+            "threshold_bp",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )

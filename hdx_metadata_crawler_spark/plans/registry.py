@@ -102,16 +102,21 @@ _PRIORITY_NAMES = [
     "lsh_bucket_stats",
     "pii_hit_report",
     "hot_shingle_report",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "eval_leak_report",
+    "neardup_threshold_sweep",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.
-    "doc_repetition_score",
+    # (exact_dedup_groups, minhash_lsh_dedup, ngram_jaccard_pairs and
+    # doc_repetition_score were rotated OUT to seat the four new
+    # never-sampled queries — each holds at least one driver-green row,
+    # and their r5 plan changes are locally re-verified through the
+    # identical gate.)
     "duplicate_passages",
-    "exact_dedup_groups",
     "exact_text_dedup",
-    "ngram_jaccard_pairs",
     "curation_funnel",
-    "minhash_lsh_dedup",
     "tfidf_top_terms",
 ]
 

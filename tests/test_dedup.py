@@ -537,3 +537,99 @@ def test_jaccard_join_digest_first_plan(spark):
         assert not re.search(r"\bshingle#\d+", k), (
             f"shingle text as aggregate key: {k}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS sketch)
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str, n: int = 3, w: int = 4):
+    """Pure-Python winnowing twin (same tokenize / gram fallback / md5-60
+    digest / min-hash-rightmost rule) — the independent arbiter for the
+    distributed operator."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+    if len(toks) >= n:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    else:
+        grams = [" ".join(toks)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    n_g = len(hs)
+    fps = set()
+    for s in range(0, max(n_g - w, 0) + 1):
+        hi = min(s + w, n_g)
+        m = min(hs[s:hi])
+        p = max(i for i in range(s, hi) if hs[i] == m)
+        fps.add((p, hs[p]))
+    return n_g, fps
+
+
+def test_winnow_matches_pure_python_on_corpus(spark):
+    """Exact (pos, hash) fingerprint-set equality vs the pure-Python twin
+    over real corpus docs — incl. repeated grams (tie-break is REAL here:
+    the fixture text has immediate token repeats)."""
+    rows = (
+        _docs(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text")
+        .limit(60)
+        .collect()
+    )
+    df = spark.createDataFrame([(r["doc_id"], r["text"]) for r in rows], ["doc_id", "text"])
+    got = dedup.winnow_fingerprints(df, "doc_id", "text", n=3, w=4).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["_id"], set()).add((r["p"], r["h"]))
+        assert r["n_windows"] == max(r["n_grams"] - 4, 0) + 1
+    for r in rows:
+        n_g, fps = _py_winnow(r["text"])
+        assert by_doc.get(r["doc_id"], set()) == fps, r["doc_id"]
+
+
+def test_winnow_theorem_shared_run_guarantees_shared_fingerprint(spark):
+    """The winnowing GUARANTEE: two docs sharing a run of >= w + n - 1
+    tokens share at least one fingerprint digest, however much unrelated
+    text surrounds the run (20 randomized planted pairs, seeded)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    for pair in range(20):
+        run = " ".join(rng.choice(vocab) for _ in range(6))  # w + n - 1 = 6
+        for side in (0, 1):
+            pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            post = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            rows.append((pair * 2 + side, f"{pre} {run} {post}".strip()))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = dedup.winnow_fingerprints(df, "doc_id", "text", n=3, w=4)
+    hs = fp.select("_id", "h").collect()
+    by_doc: dict = {}
+    for r in hs:
+        by_doc.setdefault(r["_id"], set()).add(r["h"])
+    for pair in range(20):
+        a, b = by_doc[pair * 2], by_doc[pair * 2 + 1]
+        assert a & b, f"pair {pair} shares no fingerprint"
+
+
+def test_winnow_density_and_window_cover(spark):
+    """Every window start in [0, max(n_grams - w, 0)] selects exactly one
+    position, so n_fingerprints <= n_windows; and the whole-doc fallback
+    (short / empty docs) still yields exactly one fingerprint."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, None), (4, "")],
+        ["doc_id", "text"],
+    )
+    fp = dedup.winnow_fingerprints(df, "doc_id", "text", n=3, w=4)
+    rows = fp.collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["_id"], []).append(r)
+    assert len(per_doc[1]) <= per_doc[1][0]["n_windows"]
+    for short_id in (2, 3, 4):
+        assert len(per_doc[short_id]) == 1
+        assert per_doc[short_id][0]["n_windows"] == 1
+    # doc 3 (NULL) and doc 4 ('') must agree (NULL text == empty text rule)
+    assert per_doc[3][0]["h"] == per_doc[4][0]["h"]

@@ -660,3 +660,96 @@ def test_hot_shingle_wide_aggregate_is_digest_only(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "Scan ExistingRDD" in plan  # the checkpointed 25-row frame
     assert HOT_SHINGLE_TOP == 25
+
+
+# ---------------------------------------------------------------------------
+# eval_leak_report: pure-Python recount + duality with decontamination
+# ---------------------------------------------------------------------------
+
+def test_eval_leak_report_matches_python_recount(spark):
+    """Independent pure-Python recomputation of the whole report at
+    sf0.001: md5 1-in-20 eval split, distinct 5-grams, leaked shingles /
+    corpus docs per eval doc, floor-bp arithmetic."""
+    import hashlib
+    import re
+
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        EVAL_SPLIT_MOD,
+        eval_leak_report,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+
+    def shingles(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        if len(toks) >= 5:
+            return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+        return {" ".join(toks)}
+
+    def is_eval(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16)
+        return h % EVAL_SPLIT_MOD == 0
+
+    ev = {r["doc_id"]: shingles(r["text"]) - {""} for r in rows if is_eval(r["doc_id"])}
+    corpus = {r["doc_id"]: shingles(r["text"]) for r in rows if not is_eval(r["doc_id"])}
+    got = {r["eval_id"]: r for r in eval_leak_report(spark, SF_SMALL).collect()}
+    assert set(got) == set(ev)
+    for eid, shs in ev.items():
+        leaked = {s for s in shs if any(s in c for c in corpus.values())}
+        ndocs = len({cid for cid, c in corpus.items() if c & shs})
+        r = got[eid]
+        assert r["n_shingles"] == len(shs)
+        assert r["n_leaked_shingles"] == len(leaked)
+        assert r["n_corpus_docs"] == ndocs
+        assert r["leak_bp"] == len(leaked) * 10000 // max(len(shs), 1)
+        assert r["compromised"] == (len(leaked) > 0)
+
+
+def test_eval_leak_duality_with_decontamination(spark):
+    """The two directions of the same shingle match: SOME eval doc is
+    compromised iff SOME corpus doc is contaminated (shared dictionary,
+    shared split)."""
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        benchmark_decontamination,
+        eval_leak_report,
+    )
+
+    n_compromised = (
+        eval_leak_report(spark, SF_SMALL).filter(F.col("compromised")).count()
+    )
+    n_contaminated = (
+        benchmark_decontamination(spark, SF_SMALL)
+        .filter(F.col("contaminated"))
+        .count()
+    )
+    assert (n_compromised > 0) == (n_contaminated > 0)
+    # non-vacuous on this corpus
+    assert n_compromised > 0
+
+
+# ---------------------------------------------------------------------------
+# neardup_threshold_sweep: monotone curve + agreement with the 0.40 tier
+# ---------------------------------------------------------------------------
+
+def test_threshold_sweep_monotone_and_agrees_with_exact(spark):
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        cosine_neardup_exact,
+        neardup_threshold_sweep,
+    )
+
+    sweep = {
+        r["threshold_bp"]: r
+        for r in neardup_threshold_sweep(spark, SF_SMALL).collect()
+    }
+    bps = sorted(sweep)
+    for lo, hi in zip(bps, bps[1:]):
+        assert sweep[hi]["n_pairs"] <= sweep[lo]["n_pairs"]
+        assert sweep[hi]["n_docs"] <= sweep[lo]["n_docs"]
+    exact = cosine_neardup_exact(spark, SF_SMALL).collect()
+    # cosine_neardup_exact keeps cos >= 0.40 on the ROUNDED 4-dp cosine —
+    # identical to cos_bp >= 4000 (bp = round(cos*10000) of the same value)
+    ids = {r["id_a"] for r in exact} | {r["id_b"] for r in exact}
+    assert sweep[4000]["n_pairs"] == len(exact)
+    assert sweep[4000]["n_docs"] == len(ids)
+    assert sweep[min(bps)]["n_pairs"] > 0  # non-vacuous corpus
