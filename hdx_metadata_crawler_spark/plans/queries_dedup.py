@@ -1796,6 +1796,22 @@ win_sizes AS (
 )"""
 
 
+def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized winnowing fingerprint frame (_id, n_grams, n_windows, p,
+    h) — a pure deterministic function of the corpus shared by the per-doc
+    profile and the overlap-pair join (same ownership/freshness rules as
+    the pair tier; see _cc_share).  Pinned blocks are ~2/(w+1) of gram
+    positions x 4 longs — row-sized, never text."""
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents", fan_out=True)
+        return dedup.winnow_fingerprints(
+            d, "doc_id", "text", n=WINNOW_N, w=WINNOW_W
+        ).localCheckpoint(eager=True)
+
+    return _cc_share(spark, sf_dir, "winnow_fp", build)
+
+
 @register(
     "winnowing_fingerprints",
     f"""
@@ -1816,8 +1832,7 @@ win_sizes AS (
         "shuffles, constant w fan-out).",
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    fp = dedup.winnow_fingerprints(d, "doc_id", "text", n=WINNOW_N, w=WINNOW_W)
+    fp = _winnow_fp_frame(spark, sf_dir)
     return (
         fp.groupBy(F.col("_id").alias("doc_id"), "n_grams", "n_windows")
         .agg(F.count("*").cast("long").alias("n_fingerprints"))
@@ -1861,8 +1876,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of the full shingle index's volume.",
 )
 def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    fp = dedup.winnow_fingerprints(d, "doc_id", "text", n=WINNOW_N, w=WINNOW_W)
+    fp = _winnow_fp_frame(spark, sf_dir)
     doc_h = fp.select("_id", "h").distinct()
     cnt = doc_h.groupBy("_id").agg(F.count("*").cast("long").alias("n_fp"))
     a = doc_h.select(F.col("_id").alias("id_a"), "h")

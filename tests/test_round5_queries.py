@@ -753,3 +753,26 @@ def test_threshold_sweep_monotone_and_agrees_with_exact(spark):
     assert sweep[4000]["n_pairs"] == len(exact)
     assert sweep[4000]["n_docs"] == len(ids)
     assert sweep[min(bps)]["n_pairs"] > 0  # non-vacuous corpus
+
+
+def test_winnowing_exchanges_are_digest_only(spark):
+    """No winnowing exchange may carry gram text: the digest is computed
+    in the map stage, so every hash-partitioned shuffle moves (id, pos,
+    8-byte digest) rows only — and the raw operator chain reads the
+    documents text column exactly once.  (Checked on the RAW operator:
+    the registered queries consume the memoized localCheckpoint frame,
+    which would hide the upstream plan.)"""
+    import re
+
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    df = dedup.winnow_fingerprints(d, "doc_id", "text", n=3, w=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    text_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and re.search(r"\bgram#\d+", ln)
+    ]
+    assert text_exchanges == [], text_exchanges
+    assert _doc_text_scan_count(df) == 1
