@@ -143,9 +143,10 @@ HEADLINE = [
     # winnowing (MOSS) — the local/position-aware sketch family
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
-    # eval-integrity + threshold-calibration reports
+    # eval-integrity + threshold-calibration + tier-attribution reports
     "eval_leak_report",
     "neardup_threshold_sweep",
+    "dedup_stage_attribution",
 ]
 
 

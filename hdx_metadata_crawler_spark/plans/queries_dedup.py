@@ -2106,3 +2106,165 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup stage attribution — which tier catches each dropped doc
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_stage_attribution",
+    f"""
+    WITH RECURSIVE {_simhash_oracle_cte('documents')},
+    {_minhash_ctes('documents')},
+    sh_prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    mh_prs AS (
+      SELECT id_a, id_b FROM mh_scored
+      WHERE est_jaccard >= {MH_CONSENSUS_MIN_EST}
+    ),
+    allp AS (
+      SELECT id_a, id_b FROM sh_prs
+      UNION
+      SELECT id_a, id_b FROM mh_prs
+    ),
+    csym AS (
+      SELECT id_a AS a, id_b AS b FROM allp
+      UNION
+      SELECT id_b AS a, id_a AS b FROM allp
+    ),
+    creach AS (
+      SELECT a AS id, a AS r FROM csym
+      UNION
+      SELECT creach.id, csym.b AS r FROM creach JOIN csym ON csym.a = creach.r
+    ),
+    ccomp AS (SELECT id AS doc_id, min(r) AS component_id FROM creach GROUP BY id),
+    att_dig AS (
+      SELECT doc_id,
+             {dedup.MD5_HASH60_SQL.format(x="coalesce(text, '')")} AS dg
+      FROM documents
+    ),
+    att_keep AS (SELECT dg, min(doc_id) AS keeper FROM att_dig GROUP BY dg),
+    att_exact AS (
+      SELECT d.doc_id FROM att_dig d JOIN att_keep k USING (dg)
+      WHERE d.doc_id <> k.keeper
+    ),
+    att_shm AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM sh_prs
+        UNION ALL SELECT id_b AS doc_id FROM sh_prs
+      )
+    ),
+    att_mhm AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM mh_prs
+        UNION ALL SELECT id_b AS doc_id FROM mh_prs
+      )
+    ),
+    att_drop AS (SELECT doc_id FROM ccomp WHERE doc_id <> component_id),
+    att_stage AS (
+      SELECT d.doc_id, coalesce(d.source, '') AS source,
+             CASE WHEN dr.doc_id IS NULL THEN 'kept'
+                  WHEN ex.doc_id IS NOT NULL THEN 'exact'
+                  WHEN sm.doc_id IS NOT NULL THEN 'simhash'
+                  WHEN mm.doc_id IS NOT NULL THEN 'minhash'
+                  ELSE 'closure' END AS stage
+      FROM documents d
+      LEFT JOIN att_drop dr ON d.doc_id = dr.doc_id
+      LEFT JOIN att_exact ex ON d.doc_id = ex.doc_id
+      LEFT JOIN att_shm sm ON d.doc_id = sm.doc_id
+      LEFT JOIN att_mhm mm ON d.doc_id = mm.doc_id
+    ),
+    att_tot AS (SELECT source, count(*) AS n_src FROM att_stage GROUP BY source)
+    SELECT s.source, s.stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 10000 // t.n_src AS BIGINT) AS share_bp
+    FROM att_stage s JOIN att_tot t USING (source)
+    GROUP BY s.source, s.stage, t.n_src
+    """,
+    doc="Dedup stage ATTRIBUTION: per (source, stage), how many docs each "
+        "tier of the consensus ladder accounts for — 'kept' (consensus-"
+        "canonical), 'exact' (non-first-seen in a text-digest group), "
+        "'simhash' (edge in the hamming<=3 tier), 'minhash' (edge only in "
+        "the est-Jaccard>=0.5 tier), or 'closure' (dropped purely by "
+        "transitivity through other docs — no direct edge of its own).  "
+        "The report a curation owner reads to know WHICH sketch earns its "
+        "cost per source, and how much mass only transitivity removes.  "
+        "Spark side rides the memoized pair/signature frames; the flag "
+        "joins shuffle doc-ids only; shares in exact integer basis points "
+        "(window-normalized per source — no second corpus pass).  Oracle "
+        "recomputes both sketch tiers from the shared CTE builders, closes "
+        "the union recursively, and re-derives every flag independently.",
+)
+def dedup_stage_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sh_pairs = _simhash_pair_tier(spark, sf_dir).select("id_a", "id_b")
+    sig = _minhash_sig_frame(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(
+        sig, bands=8, rows_per_band=4, num_hashes=32,
+        bucket_hash_fn=dedup.md5_hash60,
+    )
+    mh_pairs = (
+        dedup.minhash_jaccard_estimate(sig, cands)
+        .filter(F.col("est_jaccard") >= MH_CONSENSUS_MIN_EST)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    labels = dedup.connected_components(sh_pairs.unionByName(mh_pairs))
+    dropped = labels.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("_dropped")
+    )
+    dig = d.select(
+        "doc_id",
+        dedup.md5_hash60(F.coalesce("text", F.lit(""))).alias("dg"),
+    )
+    keep = dig.groupBy("dg").agg(F.min("doc_id").alias("keeper"))
+    exact = (
+        dig.join(keep, "dg")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", F.lit(True).alias("_exact"))
+    )
+
+    def members(pairs: DataFrame, flag: str) -> DataFrame:
+        return (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
+
+    staged = (
+        d.select("doc_id", F.coalesce("source", F.lit("")).alias("source"))
+        .join(dropped, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .join(members(sh_pairs, "_sh"), "doc_id", "left")
+        .join(members(mh_pairs, "_mh"), "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("_dropped").isNull(), F.lit("kept"))
+            .when(F.col("_exact").isNotNull(), F.lit("exact"))
+            .when(F.col("_sh").isNotNull(), F.lit("simhash"))
+            .when(F.col("_mh").isNotNull(), F.lit("minhash"))
+            .otherwise(F.lit("closure"))
+            .alias("stage"),
+        )
+    )
+    agg = staged.groupBy("source", "stage").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # per-source normalizer as a window over the strata-sized aggregate —
+    # no second corpus pass (established round-5 pattern)
+    return agg.select(
+        "source",
+        "stage",
+        "n_docs",
+        F.expr(
+            "CAST(div(n_docs * 10000,"
+            " sum(n_docs) OVER (PARTITION BY source)) AS BIGINT)"
+        ).alias("share_bp"),
+    )

@@ -106,18 +106,18 @@ _PRIORITY_NAMES = [
     "winnowing_overlap_pairs",
     "eval_leak_report",
     "neardup_threshold_sweep",
+    "dedup_stage_attribution",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.
-    # (exact_dedup_groups, minhash_lsh_dedup, ngram_jaccard_pairs and
-    # doc_repetition_score were rotated OUT to seat the four new
-    # never-sampled queries — each holds at least one driver-green row,
-    # and their r5 plan changes are locally re-verified through the
-    # identical gate.)
+    # (exact_dedup_groups, minhash_lsh_dedup, ngram_jaccard_pairs,
+    # doc_repetition_score and tfidf_top_terms were rotated OUT to seat
+    # the five new never-sampled queries — each holds at least one
+    # driver-green row, and their r5 plan changes are locally re-verified
+    # through the identical gate.)
     "duplicate_passages",
     "exact_text_dedup",
     "curation_funnel",
-    "tfidf_top_terms",
 ]
 
 # Flagship per-family block (kept from round 4; families that would

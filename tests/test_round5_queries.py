@@ -776,3 +776,90 @@ def test_winnowing_exchanges_are_digest_only(spark):
     ]
     assert text_exchanges == [], text_exchanges
     assert _doc_text_scan_count(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# dedup_stage_attribution: partition of the corpus, tier agreement
+# ---------------------------------------------------------------------------
+
+def test_stage_attribution_partitions_corpus(spark):
+    """The stages partition every source: per-source doc mass is conserved
+    and floor-bp shares sum to within the rounding slack of 10000."""
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        dedup_stage_attribution,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = dedup_stage_attribution(spark, SF_SMALL).collect()
+    n_corpus = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, rs in per_src.items():
+        bp = sum(r["share_bp"] for r in rs)
+        assert 10000 - len(rs) < bp <= 10000, (src, bp)
+
+
+def test_stage_attribution_agrees_with_consensus_and_exact_tier(spark):
+    """'kept' mass == consensus-canonical docs; the 'exact' stage count ==
+    the number of non-first-seen exact text dups (identical text implies a
+    hamming-0 simhash edge, so every exact dup is necessarily dropped)."""
+    from hdx_metadata_crawler_spark.operators import dedup as dd
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        dedup_stage_attribution,
+        neardup_consensus,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = dedup_stage_attribution(spark, SF_SMALL).collect()
+    kept = sum(r["n_docs"] for r in rows if r["stage"] == "kept")
+    cons = neardup_consensus(spark, SF_SMALL)
+    n_total = load_table(spark, SF_SMALL, "documents").count()
+    n_dropped = cons.filter(~F.col("is_canonical")).count()
+    assert kept == n_total - n_dropped
+
+    d = load_table(spark, SF_SMALL, "documents")
+    dig = d.select(
+        "doc_id", dd.md5_hash60(F.coalesce("text", F.lit(""))).alias("dg")
+    )
+    keepers = dig.groupBy("dg").agg(F.min("doc_id").alias("k"))
+    n_exact = (
+        dig.join(keepers, "dg").filter(F.col("doc_id") != F.col("k")).count()
+    )
+    exact_attr = sum(r["n_docs"] for r in rows if r["stage"] == "exact")
+    assert exact_attr == n_exact
+    # the synthetic corpus has no full-text exact dups (n_exact == 0 here);
+    # the planted-duplicate test below keeps the 'exact' stage non-vacuous
+
+
+def test_stage_attribution_planted_duplicates(spark, tmp_path):
+    """Planted corpus, one doc per source: an exact duplicate pair is
+    attributed (keeper 'kept', copy 'exact') and unrelated docs stay
+    'kept' — end-to-end through the registered query reading a tmp
+    sf_dir."""
+    from hdx_metadata_crawler_spark.plans.queries_dedup import (
+        dedup_stage_attribution,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    other = "completely different text about spark shuffles and parquet scans"
+    rows = [
+        (1, base, "en", "src_keep", len(base)),
+        (2, base, "en", "src_copy", len(base)),
+        (3, other, "en", "src_solo", len(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["source"], r["stage"]): r
+        for r in dedup_stage_attribution(spark, sf_dir).collect()
+    }
+    assert got[("src_keep", "kept")]["n_docs"] == 1  # component min survives
+    assert got[("src_copy", "exact")]["n_docs"] == 1  # identical text copy
+    assert got[("src_solo", "kept")]["n_docs"] == 1
+    assert all(r["share_bp"] == 10000 for r in got.values())
+    assert len(got) == 3
