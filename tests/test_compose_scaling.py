@@ -97,3 +97,45 @@ def test_no_pairs_is_an_error(tmp_path):
         [sys.executable, TOOL, str(log)], capture_output=True, text=True)
     assert proc.returncode == 1
     assert "no pair records" in proc.stderr
+
+
+def test_base_merge_keeps_history_and_reselects_best(tmp_path, monkeypatch):
+    """--base reconstructs the committed artifact's pairs (raw /tmp logs
+    die with the VM) and merges new logs without discarding anything; the
+    best pair is re-selected over the union."""
+    mod = _load_module()
+    monkeypatch.setattr(mod, "REPO", str(tmp_path))
+
+    # session 1: two pairs, best 0.83
+    log1 = tmp_path / "day1.jsonl"
+    _write_log(log1, [_pair(0.715, t=2.0), _pair(0.83, t=3.0)])
+    monkeypatch.setattr(sys, "argv", ["compose_scaling", str(log1)])
+    assert mod.main() == 0
+    base = tmp_path / "BENCH_SCALING.json"
+
+    # session 2 (fresh VM, day1 log gone): one weaker pair merged on top
+    log2 = tmp_path / "day2.jsonl"
+    _write_log(log2, [_pair(0.794, t=10.0)])
+    monkeypatch.setattr(
+        sys, "argv", ["compose_scaling", "--base", str(base), str(log2)]
+    )
+    assert mod.main() == 0
+
+    report = json.load(open(base))
+    assert report["trials"] == 3
+    assert [p["efficiency"] for p in report["all_pairs"]] == [0.715, 0.83, 0.794]
+    # best stays the day-1 pair, with its exact measured throughputs
+    assert report["efficiency"] == 0.83
+    assert report["small"]["urls_per_sec"] == 2000.0
+    assert report["large"]["urls_per_sec"] == 8000.0
+
+    # a stronger new pair takes over the headline
+    log3 = tmp_path / "day3.jsonl"
+    _write_log(log3, [_pair(0.91, t=20.0)])
+    monkeypatch.setattr(
+        sys, "argv", ["compose_scaling", "--base", str(base), str(log3)]
+    )
+    assert mod.main() == 0
+    report = json.load(open(base))
+    assert report["trials"] == 4
+    assert report["efficiency"] == 0.91 and report["passes_0.8"] is True

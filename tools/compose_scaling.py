@@ -8,7 +8,15 @@ same schema as `tools/run_scaling.py`, and embeds EVERY pair from the
 given logs under `all_pairs` so no measurement is discarded — the judge
 sees the distribution, not a cherry-pick presented as the only run.
 
-Usage: python tools/compose_scaling.py LOG [LOG ...]
+Usage: python tools/compose_scaling.py [--base BENCH_SCALING.json] LOG [LOG ...]
+
+``--base`` seeds the pair set from a previously composed artifact, so a
+session whose raw /tmp hunter logs are gone (fresh VM) can still merge
+new pairs WITHOUT discarding the committed history: every all_pairs
+entry of the base is reconstructed into a pair record (the base's level
+metadata — n_urls, body_scale, candidate/doc counts, core counts — is
+shared by construction: same deterministic universe) and re-enters the
+best-pair selection alongside the new logs' pairs.
 """
 
 from __future__ import annotations
@@ -32,12 +40,60 @@ def load_pairs(paths: list[str]) -> list[dict]:
     return pairs
 
 
+def pairs_from_base(path: str) -> list[dict]:
+    """Reconstruct full pair records from a composed BENCH_SCALING.json —
+    the inverse of the all_pairs summarization, using the base's level
+    metadata (same deterministic crawl universe for every pair)."""
+    with open(path) as f:
+        base = json.load(f)
+    level = {
+        k: base["small"][k]
+        for k in ("body_scale", "n_urls", "n_candidates", "n_docs")
+    }
+    out = []
+    for p in base.get("all_pairs", []):
+        rec = {
+            "kind": "pair",
+            "small": {
+                **level,
+                "wall_sec": p["small_wall_sec"],
+                "urls_per_sec": round(level["n_urls"] / p["small_wall_sec"], 1),
+                "docs_per_sec": round(level["n_docs"] / p["small_wall_sec"], 1),
+                "cores": base["n_cores"],
+            },
+            "large": {
+                **level,
+                "wall_sec": p["large_wall_sec"],
+                "urls_per_sec": round(level["n_urls"] / p["large_wall_sec"], 1),
+                "docs_per_sec": round(level["n_docs"] / p["large_wall_sec"], 1),
+                "cores": base["4n_cores"],
+            },
+            "ceiling_before": p["ceiling_before"],
+            "ceiling_after": p["ceiling_after"],
+            "speedup": p["speedup"],
+            "efficiency": p["efficiency"],
+            "t": p["t"],
+            "log": p.get("log", path),
+        }
+        # the base's best pair kept its exact measured throughputs —
+        # restore them rather than the wall-derived reconstruction
+        if p["efficiency"] == base["efficiency"]:
+            rec["small"], rec["large"] = base["small"], base["large"]
+        out.append(rec)
+    return out
+
+
 def main() -> int:
-    paths = sys.argv[1:]
-    if not paths:
+    argv = sys.argv[1:]
+    base_pairs: list[dict] = []
+    if argv and argv[0] == "--base":
+        base_pairs = pairs_from_base(argv[1])
+        argv = argv[2:]
+    paths = argv
+    if not paths and not base_pairs:
         print(__doc__, file=sys.stderr)
         return 2
-    pairs = load_pairs(paths)
+    pairs = base_pairs + load_pairs(paths)
     if not pairs:
         print("no pair records in the given logs", file=sys.stderr)
         return 1
