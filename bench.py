@@ -147,6 +147,8 @@ HEADLINE = [
     "eval_leak_report",
     "neardup_threshold_sweep",
     "dedup_stage_attribution",
+    # streaming near-dup ingestion gate (stateful pigeonhole buckets)
+    "stream_neardup_gate",
 ]
 
 

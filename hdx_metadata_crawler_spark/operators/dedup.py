@@ -615,6 +615,39 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_chunk_rows(fp: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Pigeonhole chunk rows for a (_id, simhash) frame: the 64-bit
+    fingerprint split into ``max_distance + 1`` equal chunks, one row per
+    (chunk_idx, chunk_val) — ANY pair within the distance is bit-identical
+    in at least one chunk, so (chunk_idx, chunk_val) bucket routing is
+    EXACT (never drops a true near-dup).  Single source of truth shared by
+    the batch pair join (``simhash_hamming_pairs``) and the streaming
+    ingestion gate (``streaming/stateful.py neardup_gate_stream``) — the
+    two must route identically or the stream's suppression set silently
+    diverges from the batch tier."""
+    n_chunks = max_distance + 1
+    assert 64 % n_chunks == 0, "chunk count must divide 64"
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    return fp.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -647,29 +680,8 @@ def simhash_hamming_pairs(
     slower (5.8s vs 3.0s warm at sf0.1).  Most of a cold run is whole-stage
     codegen compiling the 64-term bit-sum expression, not data.
     """
-    n_chunks = max_distance + 1
-    assert 64 % n_chunks == 0, "chunk count must divide 64"
-    width = 64 // n_chunks
-    mask = (1 << width) - 1
-
     fp = simhash64(df, id_col, text_col, hash_fn=hash_fn)
-    chunks = fp.select(
-        "_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk_val"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("ch"),
-    ).select("_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    chunks = simhash_chunk_rows(fp, max_distance)
 
     x = chunks.alias("x")
     y = chunks.alias("y")

@@ -220,3 +220,65 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_5pct"),
         )
     )
+
+
+def _stream_neardup_oracle() -> str:
+    from .queries_dedup import _simhash_oracle_cte
+    from ..streaming.stateful import NEARDUP_MAX_DISTANCE
+
+    return f"""
+    WITH {_simhash_oracle_cte('documents')}
+    SELECT d.doc_id,
+           CAST(count(e.doc_id) AS BIGINT) AS n_earlier_neardups,
+           count(e.doc_id) > 0 AS suppressed
+    FROM fps d LEFT JOIN fps e
+      ON e.doc_id < d.doc_id
+     AND bit_count(xor(d.simhash, e.simhash)) <= {NEARDUP_MAX_DISTANCE}
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "stream_neardup_gate",
+    _stream_neardup_oracle(),
+    doc="Streaming NEAR-dup ingestion gate (the live form of "
+        "incremental_dedup's simhash tier): documents arrive as a stream, "
+        "the 64-bit portable simhash is computed JVM-side in the map "
+        "stage, and applyInPandasWithState keyed by pigeonhole "
+        "(chunk_idx, chunk_val) buckets holds each bucket's "
+        "(doc_id, fingerprint) state — EXACT routing (a hamming<=3 pair "
+        "is bit-identical in >= 1 of the 4 chunks, the same "
+        "simhash_chunk_rows the batch join uses), exact popcount verify "
+        "against bucket state only, (doc_id, partner) emissions deduped "
+        "across buckets downstream.  Per doc: earlier near-duplicates "
+        "seen at its arrival (order = doc_id under availableNow's single "
+        "batch) and the suppression verdict; state survives restarts "
+        "(see test_neardup_gate_state_survives_across_runs).  Oracle: "
+        "DuckDB recomputes every fingerprint and counts earlier docs "
+        "within the radius.",
+)
+def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..streaming.stateful import NEARDUP_MAX_DISTANCE, neardup_gate_stream
+
+    docs = stream_table(spark, sf_dir, "documents")
+    fp = dedup.simhash64(docs, "doc_id", "text", hash_fn=dedup.md5_hash60)
+    chunk_rows = dedup.simhash_chunk_rows(fp, NEARDUP_MAX_DISTANCE).select(
+        F.col("_id").alias("doc_id"), "simhash", "chunk_idx", "chunk_val"
+    )
+    pairs = drain_stream_to_memory(
+        spark, neardup_gate_stream(chunk_rows), "stream_ndgate"
+    )
+    per_doc = (
+        pairs.distinct()  # a pair may share several chunks -> several buckets
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_earlier_neardups"))
+    )
+    spine = load_table(spark, sf_dir, "documents").select("doc_id")
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_earlier_neardups", F.lit(0))
+        .cast("long")
+        .alias("n_earlier_neardups"),
+        (F.coalesce("n_earlier_neardups", F.lit(0)) > 0).alias("suppressed"),
+    )

@@ -107,17 +107,17 @@ _PRIORITY_NAMES = [
     "eval_leak_report",
     "neardup_threshold_sweep",
     "dedup_stage_attribution",
+    "stream_neardup_gate",
     # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
     # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
     # the driver must re-confirm the value hash after the rewrite.
     # (exact_dedup_groups, minhash_lsh_dedup, ngram_jaccard_pairs,
-    # doc_repetition_score and tfidf_top_terms were rotated OUT to seat
-    # the five new never-sampled queries — each holds at least one
-    # driver-green row, and their r5 plan changes are locally re-verified
-    # through the identical gate.)
+    # doc_repetition_score, tfidf_top_terms and curation_funnel were
+    # rotated OUT to seat the six new never-sampled queries — each holds
+    # at least one driver-green row, and their r5 plan changes are locally
+    # re-verified through the identical gate.)
     "duplicate_passages",
     "exact_text_dedup",
-    "curation_funnel",
 ]
 
 # Flagship per-family block (kept from round 4; families that would

@@ -207,3 +207,76 @@ def quality_gate_stream(flagged: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingestion gate: per-chunk-bucket fingerprint state
+# ---------------------------------------------------------------------------
+
+NEARDUP_OUTPUT_SCHEMA = "doc_id long, partner_id long"
+NEARDUP_STATE_SCHEMA = "ids array<long>, fps array<long>"
+
+# Hamming radius of the gate — MUST stay the simhash tier's distance so the
+# pigeonhole routing (max_distance + 1 chunks) remains exact.
+NEARDUP_MAX_DISTANCE = 3
+
+
+def _neardup_gate_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    ids: list[int]
+    fps: list[int]
+    ids, fps = (
+        (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+    )
+    known = set(ids)
+    # Materialize every Arrow chunk before sorting (same multi-chunk hazard
+    # as _first_seen_fn): the canonical arrival order is doc_id, the
+    # registered oracle's contract.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out: list[dict[str, Any]] = []
+    if chunks:
+        merged = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        for row in merged.itertuples(index=False):
+            doc_id = int(row.doc_id)
+            fp = int(row.simhash)
+            if doc_id in known:
+                # replayed row (restart re-delivery) — already judged
+                continue
+            for pid, pfp in zip(ids, fps):
+                if (fp ^ pfp).bit_count() <= NEARDUP_MAX_DISTANCE:
+                    out.append({"doc_id": doc_id, "partner_id": pid})
+            ids.append(doc_id)
+            fps.append(fp)
+            known.add(doc_id)
+    state.update((ids, fps))
+    yield pd.DataFrame(out, columns=["doc_id", "partner_id"])
+
+
+def neardup_gate_stream(chunk_rows: DataFrame) -> DataFrame:
+    """Streaming NEAR-dup ingestion gate: the live form of
+    ``incremental_dedup``'s simhash tier.  Input rows are
+    (doc_id, simhash, chunk_idx, chunk_val) — fingerprints computed
+    JVM-side in the map stage (``operators/dedup.simhash64``) and routed
+    by ``simhash_chunk_rows``'s pigeonhole chunks, which is EXACT for
+    hamming <= NEARDUP_MAX_DISTANCE: any such pair is bit-identical in at
+    least one of the 4 chunks, so grouping by (chunk_idx, chunk_val)
+    never drops a true near-dup.
+
+    Each bucket's checkpointed state holds the (doc_id, fingerprint) list
+    seen so far; an arriving doc is verified with the exact popcount
+    against its bucket's state (bucket occupancy bounds the compare cost,
+    the streaming analogue of the batch tier's bucketed join) and emits
+    one (doc_id, partner_id) row per EARLIER near-duplicate — dedup
+    across the 4 buckets a pair may share is a distinct() downstream.
+    Arrival order is doc_id within a batch and batch order across
+    restarts; replayed doc_ids are idempotently skipped.  State size is
+    O(docs) total but sharded per bucket — the shuffle key is
+    (chunk_idx, chunk_val), never the corpus."""
+    return chunk_rows.groupBy("chunk_idx", "chunk_val").applyInPandasWithState(
+        _neardup_gate_fn,
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

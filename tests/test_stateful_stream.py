@@ -212,3 +212,89 @@ def test_quality_gate_state_survives_across_runs(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingestion gate
+# ---------------------------------------------------------------------------
+
+_ND_SCHEMA = "doc_id long, simhash long, chunk_idx long, chunk_val long"
+
+
+def _chunk_rows(doc_id: int, fp: int):
+    return [
+        {
+            "doc_id": doc_id,
+            "simhash": fp,
+            "chunk_idx": c,
+            "chunk_val": (fp >> (16 * c)) & 0xFFFF,
+        }
+        for c in range(4)
+    ]
+
+
+def _run_ndgate_once(spark, src_dir: str, ckpt: str, out_dir: str):
+    from hdx_metadata_crawler_spark.streaming.stateful import neardup_gate_stream
+
+    return _run_stateful_once(
+        spark, src_dir, ckpt, out_dir, _ND_SCHEMA, neardup_gate_stream
+    )
+
+
+def test_neardup_gate_state_survives_across_runs(spark):
+    """Run-2 docs must be verified against run-1 fingerprints restored
+    from the checkpointed state store: doc 4 (hamming 1 from doc 1,
+    hamming 1 from doc 2) emits BOTH partners although neither arrived in
+    its own run."""
+    base = 0x0BCDEF0123456789
+    fp_a = base                      # doc 1
+    fp_b = base ^ 0b101              # doc 2: hamming 2 from A -> near-dup
+    fp_c = base ^ ((1 << 16) | (1 << 32) | (1 << 48) | (1 << 59))
+    # doc 3: one flipped bit in each chunk -> hamming 4 from A, never a dup
+    fp_d = base ^ 0b001              # doc 4: hamming 1 from A, 1 from B
+
+    src = tempfile.mkdtemp(prefix="ndgate_src_")
+    ckpt = tempfile.mkdtemp(prefix="ndgate_ckpt_")
+    out = tempfile.mkdtemp(prefix="ndgate_out_")
+    try:
+        batch1 = pd.DataFrame(
+            _chunk_rows(1, fp_a) + _chunk_rows(2, fp_b) + _chunk_rows(3, fp_c)
+        )
+        spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(src)
+        out1 = {(r["doc_id"], r["partner_id"]) for r in _run_ndgate_once(spark, src, ckpt, out)}
+        assert out1 == {(2, 1)}  # B caught against A; C clean
+
+        batch2 = pd.DataFrame(_chunk_rows(4, fp_d))
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src)
+        out2 = {(r["doc_id"], r["partner_id"]) for r in _run_ndgate_once(spark, src, ckpt, out)}
+        # parquet sink accumulates run-1 rows; run 2 adds BOTH partners of
+        # doc 4 — provable only if run-1 state was restored
+        assert out2 == {(2, 1), (4, 1), (4, 2)}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_neardup_gate_matches_batch_pair_tier(spark):
+    """On the real corpus the gate's suppression set must equal the batch
+    simhash tier's: suppressed == {id_b of some hamming<=3 pair} (first
+    arrival by doc_id survives, every later member is flagged)."""
+    from hdx_metadata_crawler_spark.operators import dedup
+    from hdx_metadata_crawler_spark.plans.queries_streaming import (
+        stream_neardup_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]
+        for r in stream_neardup_gate(spark, sf).collect()
+        if r["suppressed"]
+    }
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dedup.simhash_hamming_pairs(
+        d, "doc_id", "text", max_distance=3, hash_fn=dedup.md5_hash60
+    ).collect()
+    expect = {r["id_b"] for r in pairs}
+    assert got == expect
+    assert expect, "corpus must contain near-dups or the test is vacuous"
