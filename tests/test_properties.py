@@ -110,3 +110,107 @@ def test_simhash_order_and_duplication_invariant(spark, toks, seed):
     )
     out = {r["_id"]: r["simhash"] for r in dedup.simhash64(df, "doc_id", "text").collect()}
     assert out[1] == out[2] == out[3]
+
+
+# ---------------------------------------------------------------------------
+# 5. Streaming near-dup gate: bucket-union == brute force, across restarts
+# ---------------------------------------------------------------------------
+
+class _StubState:
+    """Minimal GroupState stand-in for driving the pure state function."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _drive_gate(batches):
+    """Run _neardup_gate_fn over (doc_id, fp) batches exactly as the
+    stateful shuffle would: group rows by pigeonhole bucket, one state per
+    bucket persisted across batches.  Returns the deduped emission set."""
+    import pandas as pd
+
+    from hdx_metadata_crawler_spark.streaming.stateful import _neardup_gate_fn
+
+    states: dict = {}
+    out = set()
+    for batch in batches:
+        groups: dict = {}
+        for doc_id, fp in batch:
+            for c in range(4):
+                key = (c, (fp >> (16 * c)) & 0xFFFF)
+                groups.setdefault(key, []).append(
+                    {"doc_id": doc_id, "simhash": fp}
+                )
+        for key, rows in groups.items():
+            state = states.setdefault(key, _StubState())
+            for pdf in _neardup_gate_fn(key, iter([pd.DataFrame(rows)]), state):
+                for r in pdf.itertuples(index=False):
+                    out.add((int(r.doc_id), int(r.partner_id)))
+    return out
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+             min_size=0, max_size=12),
+    st.integers(min_value=0, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_neardup_gate_union_equals_brute_force_across_restarts(fps, cut):
+    """For ANY fingerprints and ANY batch split point, the union of the
+    per-bucket emissions (deduped) equals the brute-force 'every earlier
+    doc within hamming<=3' set — the pigeonhole routing is exact and the
+    state carries across batches.  Replaying the first batch afterwards
+    must add nothing (idempotence under re-delivery)."""
+    docs = list(enumerate(fps))
+    cut = min(cut, len(docs))
+    batches = [docs[:cut], docs[cut:], docs[:cut]]  # third = replay
+    got = _drive_gate(batches)
+    expect = {
+        (i, j)
+        for j, fj in docs
+        for i, fi in docs
+        if j < i and bin(fi ^ fj).count("1") <= 3
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# 6. Winnowing theorem: any >= w + n - 1 token shared run shares a print
+# ---------------------------------------------------------------------------
+
+_tok = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@given(
+    st.lists(_tok, min_size=0, max_size=25),
+    st.lists(_tok, min_size=6, max_size=6),
+    st.lists(_tok, min_size=0, max_size=25),
+    st.lists(_tok, min_size=0, max_size=25),
+    st.lists(_tok, min_size=0, max_size=25),
+)
+@settings(max_examples=120, deadline=None)
+def test_winnowing_theorem_property(pre_a, run, post_a, pre_b, post_b):
+    """Schleimer et al.'s guarantee on the pure twin (which the corpus
+    test proves fingerprint-identical to the Spark operator): two texts
+    sharing ANY run of w + n - 1 = 6 tokens share >= 1 fingerprint hash,
+    and per-doc fingerprints never exceed the window count."""
+    from tests.test_dedup import _py_winnow
+
+    text_a = " ".join(pre_a + run + post_a)
+    text_b = " ".join(pre_b + run + post_b)
+    n_a, fp_a = _py_winnow(text_a)
+    n_b, fp_b = _py_winnow(text_b)
+    assert {h for _, h in fp_a} & {h for _, h in fp_b}
+    assert len(fp_a) <= max(n_a - 4, 0) + 1
+    assert len(fp_b) <= max(n_b - 4, 0) + 1
