@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -221,6 +222,18 @@ NEARDUP_STATE_SCHEMA = "ids array<long>, fps array<long>"
 NEARDUP_MAX_DISTANCE = 3
 
 
+# 8-bit popcount lookup — vectorizes the per-row hamming verify (numpy
+# 1.x has no bitwise_count; a hot bucket otherwise costs a python-int
+# popcount per (arrival, state-member) pair, the fn's measured hot path)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+_MASK64 = (1 << 64) - 1
+
+
+def _hamming_vec(fps_u64: "np.ndarray", fp: int) -> "np.ndarray":
+    x = np.bitwise_xor(fps_u64, np.uint64(fp & _MASK64))
+    return _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+
+
 def _neardup_gate_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -236,19 +249,39 @@ def _neardup_gate_fn(
     chunks = [pdf for pdf in pdfs if len(pdf)]
     out: list[dict[str, Any]] = []
     if chunks:
-        merged = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
-        for row in merged.itertuples(index=False):
-            doc_id = int(row.doc_id)
-            fp = int(row.simhash)
-            if doc_id in known:
-                # replayed row (restart re-delivery) — already judged
-                continue
-            for pid, pfp in zip(ids, fps):
-                if (fp ^ pfp).bit_count() <= NEARDUP_MAX_DISTANCE:
-                    out.append({"doc_id": doc_id, "partner_id": pid})
-            ids.append(doc_id)
-            fps.append(fp)
-            known.add(doc_id)
+        merged = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values("doc_id")
+            .drop_duplicates("doc_id")
+        )
+        # replayed doc_ids (restart re-delivery) were already judged
+        merged = merged[~merged["doc_id"].isin(known)]
+        b_ids = merged["doc_id"].to_numpy(dtype=np.int64)
+        b_fps_i = [int(v) for v in merged["simhash"]]
+        b_fps = np.array(
+            [f & _MASK64 for f in b_fps_i], dtype=np.uint64
+        )
+        state_ids = np.array(ids, dtype=np.int64)
+        state_fps = np.array([f & _MASK64 for f in fps], dtype=np.uint64)
+        for k in range(len(b_ids)):
+            doc_id = int(b_ids[k])
+            fp = b_fps_i[k]
+            if len(state_ids):
+                hits = state_ids[
+                    _hamming_vec(state_fps, fp) <= NEARDUP_MAX_DISTANCE
+                ]
+                out.extend(
+                    {"doc_id": doc_id, "partner_id": int(p)} for p in hits
+                )
+            if k:
+                hits = b_ids[:k][
+                    _hamming_vec(b_fps[:k], fp) <= NEARDUP_MAX_DISTANCE
+                ]
+                out.extend(
+                    {"doc_id": doc_id, "partner_id": int(p)} for p in hits
+                )
+        ids.extend(int(i) for i in b_ids)
+        fps.extend(b_fps_i)
     state.update((ids, fps))
     yield pd.DataFrame(out, columns=["doc_id", "partner_id"])
 
