@@ -1971,6 +1971,10 @@ def eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("shingle") != "")
         .distinct()
+        # benchmark-sized (the 1-in-20 split's distinct shingles) and
+        # consumed by TWO branches (sizes + the broadcast join) — without
+        # the checkpoint each branch re-scans the eval slice's text
+        .localCheckpoint(eager=True)
     )
     sizes = ev_idx.groupBy("eval_id").agg(
         F.count("*").cast("long").alias("n_shingles")
