@@ -149,6 +149,8 @@ HEADLINE = [
     "dedup_stage_attribution",
     # streaming near-dup ingestion gate (stateful pigeonhole buckets)
     "stream_neardup_gate",
+    # tokenizer-sizing coverage report
+    "vocab_coverage",
 ]
 
 

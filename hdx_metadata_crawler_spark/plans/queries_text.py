@@ -1192,3 +1192,97 @@ def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_rare_distinct"), F.lit(0)).alias("n_rare_distinct"),
         ((num - num % denom) / denom).cast("long").alias("rare_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source vocabulary coverage under a fixed top-K vocab
+# ---------------------------------------------------------------------------
+
+# Top-K global tokens admitted to the vocabulary (rank by count desc, token
+# asc — deterministic across engines).  Production value is
+# tokenizer-sized; the test corpus has ~31 distinct tokens, so 12 keeps
+# the coverage split non-trivial at every SF.
+VOCAB_K = 12
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH vc_tok AS (
+      SELECT coalesce(source, '') AS source,
+             unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                '[^a-z0-9]+'), t -> t <> '')) AS token
+      FROM documents
+    ),
+    vc_stc AS (SELECT source, token, count(*) AS c FROM vc_tok GROUP BY source, token),
+    vc_glob AS (SELECT token, sum(c) AS n FROM vc_stc GROUP BY token),
+    vc_vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) AS rnk
+        FROM vc_glob
+      ) WHERE rnk <= {VOCAB_K}
+    )
+    SELECT s.source,
+           CAST(sum(s.c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NOT NULL THEN s.c ELSE 0 END)
+             AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN v.token IS NOT NULL THEN s.c ELSE 0 END) * 10000
+                // greatest(sum(s.c), 1) AS BIGINT) AS coverage_bp,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_distinct_covered,
+           CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                // greatest(count(*), 1) AS BIGINT) AS distinct_coverage_bp
+    FROM vc_stc s LEFT JOIN vc_vocab v ON s.token = v.token
+    GROUP BY s.source
+    """,
+    doc="Per-source vocabulary coverage under a fixed top-K global vocab "
+        "(rank by corpus count, token tie-break): token-instance and "
+        "distinct-type coverage in exact integer basis points — the "
+        "tokenizer-sizing report (what OOV mass each source contributes "
+        "under a vocab of K entries; rare_token_score's per-doc cousin at "
+        "the vocab-design altitude).  One text scan: the (source, token) "
+        "aggregate feeds BOTH the global vocab ranking (re-aggregate — "
+        "never a second scan) and the coverage join; the vocab is K rows "
+        "and broadcast.  Sources whose every doc is token-free drop out "
+        "identically on both engines (explode/unnest both emit nothing).",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stc = (
+        d.select(
+            F.coalesce("source", F.lit("")).alias("source"),
+            F.explode(
+                tokenize(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+        # feeds BOTH the global ranking and the coverage aggregate — the
+        # checkpoint keeps the corpus scan + explode single-pass
+        .localCheckpoint(eager=True)
+    )
+    glob = stc.groupBy("token").agg(F.sum("c").alias("n"))
+    vocab = (
+        glob.orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_K)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    j = stc.join(F.broadcast(vocab), "token", "left")
+    inv = F.col("_in_vocab").isNotNull()
+    return j.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(inv, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_covered"),
+        F.expr(
+            "CAST(div(sum(CASE WHEN _in_vocab IS NOT NULL THEN c ELSE 0 END)"
+            " * 10000, greatest(sum(c), 1)) AS BIGINT)"
+        ).alias("coverage_bp"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(inv.cast("int")).cast("long").alias("n_distinct_covered"),
+        F.expr(
+            "CAST(div(sum(CASE WHEN _in_vocab IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 10000, greatest(count(*), 1)) AS BIGINT)"
+        ).alias("distinct_coverage_bp"),
+    )

@@ -108,15 +108,15 @@ _PRIORITY_NAMES = [
     "neardup_threshold_sweep",
     "dedup_stage_attribution",
     "stream_neardup_gate",
-    # ---- queries whose PHYSICAL PLAN changed in round 5 (digest-first
-    # shuffles, digest-rewritten funnel CTEs, eager-checkpoint restructure):
-    # the driver must re-confirm the value hash after the rewrite.
-    # (exact_dedup_groups, minhash_lsh_dedup, ngram_jaccard_pairs,
-    # doc_repetition_score, tfidf_top_terms and curation_funnel were
-    # rotated OUT to seat the six new never-sampled queries — each holds
-    # at least one driver-green row, and their r5 plan changes are locally
-    # re-verified through the identical gate.)
-    "duplicate_passages",
+    "vocab_coverage",
+    # ---- exact_text_dedup is the one round-5 PLAN-CHANGED query that has
+    # never been driver-sampled — it must keep a window seat.  The other
+    # plan-changed entries (exact_dedup_groups, minhash_lsh_dedup,
+    # ngram_jaccard_pairs, doc_repetition_score, tfidf_top_terms,
+    # curation_funnel, duplicate_passages) were rotated OUT to seat the
+    # seven new never-sampled queries — each holds at least one
+    # driver-green CORRECTNESS row (r01–r04), and their r5 plan changes
+    # are locally re-verified through the identical gate.
     "exact_text_dedup",
 ]
 

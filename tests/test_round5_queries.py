@@ -863,3 +863,44 @@ def test_stage_attribution_planted_duplicates(spark, tmp_path):
     assert got[("src_solo", "kept")]["n_docs"] == 1
     assert all(r["share_bp"] == 10000 for r in got.values())
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage: pure-Python recount of the whole report
+# ---------------------------------------------------------------------------
+
+def test_vocab_coverage_matches_python_recount(spark):
+    import re
+    from collections import Counter
+
+    from hdx_metadata_crawler_spark.plans.queries_text import (
+        VOCAB_K,
+        vocab_coverage,
+    )
+    from hdx_metadata_crawler_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMALL, "documents").select("source", "text").collect()
+    per_src: dict = {}
+    glob: Counter = Counter()
+    for r in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", (r["text"] or "").lower()) if t]
+        c = per_src.setdefault(r["source"] or "", Counter())
+        c.update(toks)
+        glob.update(toks)
+    vocab = {
+        t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]
+    }
+    got = {r["source"]: r for r in vocab_coverage(spark, SF_SMALL).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        n_tok = sum(cnt.values())
+        n_cov = sum(v for t, v in cnt.items() if t in vocab)
+        nd = len(cnt)
+        ndc = sum(1 for t in cnt if t in vocab)
+        r = got[src]
+        assert r["n_tokens"] == n_tok and r["n_covered"] == n_cov
+        assert r["coverage_bp"] == n_cov * 10000 // max(n_tok, 1)
+        assert r["n_distinct"] == nd and r["n_distinct_covered"] == ndc
+        assert r["distinct_coverage_bp"] == ndc * 10000 // max(nd, 1)
+        # K < vocab size on this corpus -> coverage must be non-trivial
+        assert 0 < r["coverage_bp"] < 10000
