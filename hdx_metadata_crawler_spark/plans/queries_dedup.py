@@ -487,6 +487,45 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 MH_CONSENSUS_MIN_EST = 0.5
 
 
+def _mh_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized MinHash consensus pair tier (id_a, id_b at est_jaccard >=
+    MH_CONSENSUS_MIN_EST), shared by neardup_consensus and
+    dedup_stage_attribution — rides the memoized signature frame, eager
+    localCheckpoint cuts the banded candidate join out of every consumer's
+    lineage (same ownership/freshness rules as the pair tier)."""
+
+    def build() -> DataFrame:
+        sig = _minhash_sig_frame(spark, sf_dir)
+        cands = dedup.minhash_lsh_candidates(
+            sig, bands=8, rows_per_band=4, num_hashes=32,
+            bucket_hash_fn=dedup.md5_hash60,
+        )
+        return (
+            dedup.minhash_jaccard_estimate(sig, cands)
+            .filter(F.col("est_jaccard") >= MH_CONSENSUS_MIN_EST)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    return _cc_share(spark, sf_dir, "mh_cons_pairs", build)
+
+
+def _consensus_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized consensus CC labels (id, comp) over the UNION of the
+    simhash and MinHash tiers — neardup_consensus and
+    dedup_stage_attribution otherwise each pay the O(log n) CC loop."""
+    return _cc_share(
+        spark,
+        sf_dir,
+        "cons_labels",
+        lambda: dedup.connected_components(
+            _simhash_pair_tier(spark, sf_dir)
+            .select("id_a", "id_b")
+            .unionByName(_mh_consensus_pairs(spark, sf_dir))
+        ),
+    )
+
+
 @register(
     "neardup_consensus",
     f"""
@@ -535,24 +574,10 @@ MH_CONSENSUS_MIN_EST = 0.5
         "the merged fixpoint exactly.",
 )
 def neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh_pairs = _simhash_pair_tier(spark, sf_dir).select("id_a", "id_b")
-    # shared memoized signature frame (lineage-free) — the consensus tier,
-    # minhash_lsh_dedup and minhash_accuracy_report pay the signature scan
-    # once per process (ADVICE r04's leaked per-query cache is gone with it)
-    sig = _minhash_sig_frame(spark, sf_dir)
-    cands = dedup.minhash_lsh_candidates(
-        sig, bands=8, rows_per_band=4, num_hashes=32,
-        bucket_hash_fn=dedup.md5_hash60,
-    )
-    mh_pairs = (
-        dedup.minhash_jaccard_estimate(sig, cands)
-        .filter(F.col("est_jaccard") >= MH_CONSENSUS_MIN_EST)
-        .select("id_a", "id_b")
-        # lineage cut: the CC loop re-evaluates its edge input across
-        # rounds; keep the banded candidate join out of that lineage
-        .localCheckpoint(eager=True)
-    )
-    labels = dedup.connected_components(sh_pairs.unionByName(mh_pairs))
+    # memoized union-tier CC labels (shared with dedup_stage_attribution);
+    # the mh tier rides the memoized signature frame and its checkpoint
+    # keeps the banded candidate join out of the CC loop's lineage
+    labels = _consensus_component_labels(spark, sf_dir)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
     return labels.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),
@@ -2208,18 +2233,8 @@ def dedup_stage_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh_pairs = _simhash_pair_tier(spark, sf_dir).select("id_a", "id_b")
-    sig = _minhash_sig_frame(spark, sf_dir)
-    cands = dedup.minhash_lsh_candidates(
-        sig, bands=8, rows_per_band=4, num_hashes=32,
-        bucket_hash_fn=dedup.md5_hash60,
-    )
-    mh_pairs = (
-        dedup.minhash_jaccard_estimate(sig, cands)
-        .filter(F.col("est_jaccard") >= MH_CONSENSUS_MIN_EST)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    labels = dedup.connected_components(sh_pairs.unionByName(mh_pairs))
+    mh_pairs = _mh_consensus_pairs(spark, sf_dir)
+    labels = _consensus_component_labels(spark, sf_dir)
     dropped = labels.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("doc_id"), F.lit(True).alias("_dropped")
     )
